@@ -1,0 +1,125 @@
+"""Decimated transform parity tests (reference test/transforms.jl "DWT" set
+plus the batch-equivalence category from "Transform All")."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import waveletsext_tpu as wx
+from waveletsext_tpu.kernels import conv
+
+
+RNG = np.random.default_rng(7)
+
+
+def test_step_golden_1d():
+    w = wx.wavelet("db4")
+    v = jnp.asarray([2.0, 3.0, -4.0, 5.0])
+    w1, w2 = conv.analysis_step(v, w.lo, w.hi)
+    got = np.round(np.concatenate([w1, w2]), 3)
+    assert np.allclose(got, [-0.524, 4.767, 1.803, 5.268])
+    rec = conv.synthesis_step(jnp.round(w1, 3), jnp.round(w2, 3), w.lo, w.hi)
+    assert np.allclose(np.round(rec, 3), [2, 3, -4, 5])
+
+
+def test_step_golden_2d():
+    w = wx.wavelet("db4")
+    x = jnp.asarray([[2.0, 3.0], [-4.0, 5.0]])
+    w1, w2, w3, w4 = conv.analysis_step2(x, w.lo, w.hi)
+    got = np.round(np.array([[w1[0, 0], w2[0, 0]], [w3[0, 0], w4[0, 0]]]), 3)
+    assert np.allclose(got, [[3, 5], [-2, 4]])
+    rec = conv.synthesis_step2(w1, w2, w3, w4, w.lo, w.hi)
+    assert np.allclose(np.round(rec, 3), x)
+
+
+@pytest.mark.parametrize("wt", ["haar", "db4", "sym6", "coif4"])
+def test_wpd_matches_wpt_levels_1d(wt):
+    """wpd level slices == wpt at each level (test/transforms.jl:29)."""
+    x = jnp.asarray(RNG.standard_normal(8))
+    xw = wx.wpd(x, wt)
+    assert xw.shape == (4, 8)
+    assert np.allclose(xw[0], x)
+    for L in range(1, 4):
+        assert np.allclose(xw[L], wx.wpt(x, wt, L)), L
+
+
+def test_iwpd_roundtrips_1d():
+    x = jnp.asarray(RNG.standard_normal(8))
+    xw = wx.wpd(x, "db4")
+    assert np.allclose(wx.iwpd(xw, "db4"), x)
+    assert np.allclose(wx.iwpd(xw, "db4", 2), x)
+    assert np.allclose(wx.iwpd(xw, "db4", wx.maketree(8, 3, "dwt")), x)
+
+
+def test_wpd_2d():
+    x = jnp.asarray(RNG.standard_normal((8, 8)))
+    xw = wx.wpd2(x, "db4")
+    assert xw.shape == (4, 8, 8)
+    # dwt level 1 == wpt level 1 (test/transforms.jl:41)
+    assert np.allclose(wx.dwt2(x, "db4", 1), wx.wpt2(x, "db4", 1))
+    for L in range(1, 4):
+        assert np.allclose(xw[L], wx.wpt2(x, "db4", L)), L
+    # dwt == wpt with :dwt tree (test/transforms.jl:43)
+    assert np.allclose(wx.dwt2(x, "db4"),
+                       wx.wpt2(x, "db4", wx.maketree2d(8, 8, 3, "dwt")))
+    assert np.allclose(wx.iwpd2(xw, "db4"), x)
+    assert np.allclose(wx.iwpd2(xw, "db4", 2), x)
+    assert np.allclose(wx.iwpd2(xw, "db4", wx.maketree2d(8, 8, 3, "dwt")), x)
+    assert np.allclose(wx.iwpt2(wx.wpt2(x, "db4"), "db4"), x)
+    assert np.allclose(wx.iwpt2(wx.wpt2(x, "db4", 2), "db4", 2), x)
+    tr = wx.maketree2d(8, 8, 3, "dwt")
+    assert np.allclose(wx.iwpt2(wx.wpt2(x, "db4", tr), "db4", tr), x)
+
+
+def test_dwt_idwt_1d():
+    x = jnp.asarray(RNG.standard_normal(64))
+    for L in (1, 3, 6):
+        y = wx.dwt(x, "db4", L)
+        assert np.allclose(wx.idwt(y, "db4", L), x)
+    # dwt == wpt with :dwt tree
+    y = wx.dwt(x, "db4")
+    assert np.allclose(y, wx.wpt(x, "db4", wx.maketree(64, 6, "dwt")))
+
+
+def test_wpt_tree_roundtrip_1d():
+    x = jnp.asarray(RNG.standard_normal(16))
+    tree = wx.maketree(16, 4, "full")
+    # prune some subtrees to make it non-trivial
+    tree = tree.copy()
+    wx.delete_subtree(tree, 3)
+    y = wx.wpt(x, "db4", tree)
+    assert np.allclose(wx.iwpt(y, "db4", tree), x)
+
+
+def test_batched_matches_single():
+    """Batch == single (test/transforms.jl:270-299), batch axis leading."""
+    x = RNG.standard_normal(8)
+    xb = jnp.asarray(np.stack([x, x, x]))
+    single = wx.wpd(jnp.asarray(x), "db4")
+    batch = wx.wpd(xb, "db4")
+    for i in range(3):
+        assert np.allclose(batch[i], single)
+    assert np.allclose(wx.iwpd(batch, "db4"), xb)
+    y = wx.wpt(jnp.asarray(x), "db4")
+    assert np.allclose(wx.wpt(xb, "db4"), np.stack([y] * 3))
+
+
+def test_getbasiscoefall_per_signal_trees():
+    x = jnp.asarray(RNG.standard_normal((3, 8)))
+    xw = wx.wpd(x, "haar")
+    t1 = wx.maketree(8, 3, "dwt")
+    t2 = wx.maketree(8, 3, "full")
+    t3 = wx.maketree(8, 1, "full")
+    trees = np.stack([t1, t2, t3])
+    got = wx.getbasiscoefall(xw, trees)
+    for i, t in enumerate((t1, t2, t3)):
+        assert np.allclose(got[i], wx.getbasiscoef(xw[i], t))
+
+
+def test_jit_and_vmap():
+    import jax
+    x = jnp.asarray(RNG.standard_normal((4, 16)))
+    f = jax.jit(lambda a: wx.wpd(a, "db4", 3))
+    assert np.allclose(f(x), wx.wpd(x, "db4", 3))
+    g = jax.vmap(lambda a: wx.wpt(a, "db4", 2))
+    assert np.allclose(g(x), wx.wpt(x, "db4", 2))

@@ -1,0 +1,70 @@
+"""Filter bank construction tests.
+
+Golden values pin the Wavelets.jl conventions the reference relies on
+(/root/reference/test/transforms.jl:3-13,122-131).
+"""
+
+import numpy as np
+import pytest
+
+from waveletsext_tpu.filters import wavelet, SQRT2
+
+ALL_NAMES = (["haar"] + [f"db{i}" for i in range(1, 11)]
+             + [f"sym{i}" for i in range(4, 11)]
+             + [f"coif{i}" for i in (2, 4, 6, 8)])
+
+
+@pytest.mark.parametrize("name", ALL_NAMES)
+def test_orthonormal(name):
+    p = wavelet(name).lo
+    L = len(p)
+    assert abs(p.sum() - SQRT2) < 1e-12
+    for m in range(L // 2):
+        want = 1.0 if m == 0 else 0.0
+        assert abs(np.dot(p[: L - 2 * m], p[2 * m:]) - want) < 1e-11, (name, m)
+
+
+def test_db4_step_golden():
+    """db4 one-step golden from test/transforms.jl:3-8."""
+    w = wavelet("db4")
+    p, dc = w.lo, w.hi
+    v = np.array([2.0, 3.0, -4.0, 5.0])
+    n, L = 4, 8
+    w1 = [sum(p[t] * v[(2 * i + t) % n] for t in range(L)) for i in range(2)]
+    w2 = [sum(dc[s] * v[(2 * i + 2 - L + s) % n] for s in range(L)) for i in range(2)]
+    assert np.allclose(np.round(w1 + w2, 3), [-0.524, 4.767, 1.803, 5.268])
+
+
+def test_ac_filters_golden():
+    """ACWT one-step golden from test/transforms.jl:122-131."""
+    w = wavelet("db4")
+    pf, qf = w.ac_lo, w.ac_hi
+    v = np.array([2.0, 3.0, -4.0, 5.0])
+    n, Lac = 4, len(pf)
+    S = Lac // 2 + 1
+    aw1 = [sum(pf[t] * v[(i + 1 - S + t) % n] for t in range(Lac)) for i in range(n)]
+    aw2 = [sum(qf[t] * v[(i + 1 - S + t) % n] for t in range(Lac)) for i in range(n)]
+    assert np.allclose(np.round(aw1, 3), [4.243, 1.414, 0.0, 2.828])
+    assert np.allclose(np.round(aw2, 3), [-1.414, 2.828, -5.657, 4.243])
+    assert np.allclose((np.array(aw1) + aw2) / np.sqrt(2), v)
+
+
+def test_haar():
+    p = wavelet("haar").lo
+    assert np.allclose(p, [1 / np.sqrt(2)] * 2)
+    assert wavelet("haar").hi[0] == pytest.approx(-1 / np.sqrt(2))
+
+
+def test_vanishing_moments():
+    for name, nmom in [("db4", 4), ("sym6", 6), ("coif4", 4)]:
+        dc = wavelet(name).hi
+        i = np.arange(len(dc), dtype=float)
+        for q in range(nmom):
+            assert abs(np.dot(dc, i ** q)) < 1e-8, (name, q)
+
+
+def test_unknown_name():
+    with pytest.raises(ValueError):
+        wavelet("nosuch3")
+    with pytest.raises(ValueError):
+        wavelet("db11")

@@ -1,0 +1,21 @@
+"""waveletsext_tpu — a TPU-native wavelet analysis/synthesis framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+WaveletsExt.jl (UCD4IDS): decimated DWT/WPT/WPD, redundant SWT/ACWT/SIWT,
+best-basis search (CW entropy / JBB / LSDB), wavelet shrinkage denoising,
+Local Discriminant Basis feature extraction, BCR fast wavelet multiplication,
+plus tree utilities, metrics, and synthetic datasets — all batched, functional,
+jit/vmap/pjit-compatible, and sharded over device meshes (see ``parallel``).
+"""
+
+from .filters import Wavelet, wavelet
+from .trees import (maketree, maketree2d, maxtransformlevels, gettreelength,
+                    getchildindex, getparentindex, getdepth, getleaf,
+                    isvalidtree, delete_subtree, tree_depth)
+from .utils import (nodelength, packet, main2depthshift, getrowrange,
+                    getcolrange, getbasiscoef, getbasiscoef2, getbasiscoefall,
+                    coarsestscalingrange, finestdetailrange)
+from .transforms.dwt import (dwt, idwt, dwt2, idwt2, wpt, iwpt, wpt2, iwpt2,
+                             wpd, iwpd, wpd2, iwpd2)
+
+__version__ = "0.1.0"

@@ -1,0 +1,72 @@
+"""Public-API jit boundary.
+
+Every public transform is wrapped in ``jax.jit`` with the wavelet / level /
+tree arguments marked static, so a call signature compiles exactly once and
+every later call is a cached dispatch.  (In this environment each fresh XLA
+compilation round-trips a compile service, so eager per-op dispatch is
+prohibitively slow — and on TPU the whole-transform program is what we want
+XLA to fuse anyway.)
+
+Trees are numpy bool arrays at the user level; ``StaticTree`` wraps them with
+value-based hashing so they can be jit-static.  ``np.asarray`` transparently
+unwraps it via ``__array__``.
+"""
+
+from __future__ import annotations
+
+import functools
+import inspect
+
+import numpy as np
+import jax
+
+
+class StaticTree:
+    """Hashable, immutable wrapper around a numpy bool tree array."""
+
+    __slots__ = ("arr", "_key")
+
+    def __init__(self, arr):
+        a = np.ascontiguousarray(np.asarray(arr, dtype=bool))
+        a.setflags(write=False)
+        object.__setattr__(self, "arr", a)
+        object.__setattr__(self, "_key", (a.shape, a.tobytes()))
+
+    def __array__(self, dtype=None, copy=None):
+        return self.arr if dtype is None else self.arr.astype(dtype)
+
+    def __len__(self):
+        return len(self.arr)
+
+    def __hash__(self):
+        return hash(self._key)
+
+    def __eq__(self, other):
+        return isinstance(other, StaticTree) and self._key == other._key
+
+    def __repr__(self):
+        return f"StaticTree(len={len(self.arr)})"
+
+
+def apijit(*static_names):
+    """Wrap a function in jax.jit, making the named arguments static and
+    auto-converting numpy tree arrays among them to ``StaticTree``."""
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+        jf = jax.jit(fn, static_argnames=static_names)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            b = sig.bind(*args, **kwargs)
+            b.apply_defaults()
+            for name in static_names:
+                v = b.arguments.get(name)
+                if isinstance(v, np.ndarray):
+                    b.arguments[name] = StaticTree(v)
+            return jf(**b.arguments)
+
+        wrapper.__wrapped_impl__ = fn
+        return wrapper
+
+    return deco

@@ -1,0 +1,235 @@
+"""Periodic filter-bank convolution primitives.
+
+Every inner loop of the reference is an instance of one circular correlation
+
+    w[..., i] = sum_t f[t] * x[..., (stride*i + dilation*t + offset) mod n]
+
+-- the decimated analysis step (/root/reference/src/mod/dwt/dwt_one_level.jl:
+79-107), the a-trous SWT step (swt_one_level.jl:99-127), the ACWT step with its
+phase shift (acwt_one_level.jl:101-128), and (via polyphase decomposition) all
+of the synthesis steps.  This module implements that one primitive as a stack
+of static strided slices over a doubled buffer — fully fusible by XLA, no
+gathers, no dynamic shapes — plus the analysis/synthesis step pairs built on
+it.  Filters arrive as host numpy arrays and are folded into the program as
+constants.
+
+A Pallas fast path for the hot batched cases lives in ``pallas_ops.py``; the
+implementations here are the reference-accurate (float64-capable) ground truth.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def periodic_filter(x, taps, stride: int = 1, dilation: int = 1, offset: int = 0):
+    """w[..., i] = sum_t taps[t] * x[..., (stride*i + dilation*t + offset) % n].
+
+    ``stride`` must divide ``n``; output length is ``n // stride``.  ``taps``
+    is a host numpy array (static).  Works for filters longer than ``n``
+    (multiple wraps) since each tap is resolved mod n independently.
+    """
+    n = x.shape[-1]
+    assert n % stride == 0, (n, stride)
+    nout = n // stride
+    xe = jnp.concatenate([x, x], axis=-1)
+    acc = None
+    for t in range(len(taps)):
+        start = (dilation * t + offset) % n
+        limit = start + stride * (nout - 1) + 1
+        sl = jax.lax.slice_in_dim(xe, start, limit, stride=stride, axis=-1)
+        term = float(taps[t]) * sl
+        acc = term if acc is None else acc + term
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Decimated (DWT/WPT) steps — dwt_one_level.jl conventions
+# ---------------------------------------------------------------------------
+
+def analysis_step(v, lo: np.ndarray, hi: np.ndarray):
+    """One decimated analysis step on the last axis (batched elsewhere).
+
+    Equals the reference ``dwt_step!`` (dwt_one_level.jl:79-107) with
+    ``lo = scaling filter`` and ``hi`` its mirror (see filters.py).
+    Returns ``(w1, w2)`` of length n/2 each.
+    """
+    L = len(lo)
+    w1 = periodic_filter(v, lo, stride=2, dilation=1, offset=0)
+    w2 = periodic_filter(v, hi, stride=2, dilation=1, offset=2 - L)
+    return w1, w2
+
+
+def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
+    """Inverse of :func:`analysis_step` (dwt_one_level.jl:192-223), expressed
+    in polyphase form:
+
+        v[j] = sum_t lo[t]*u1[(j-t) % n] + sum_s hi[s]*u2[(j-s+L-2) % n]
+
+    with u1/u2 the zero-stuffed upsamplings of w1/w2.  Splitting j and the tap
+    indices by parity gives two plain circular correlations per branch.
+    """
+    L = len(lo)
+    half = w1.shape[-1]
+    outs = []
+    for e in (0, 1):
+        lo_e = lo[e::2]
+        hi_e = hi[e::2]
+        ve = periodic_filter(w1, lo_e, stride=1, dilation=-1, offset=0)
+        ve = ve + periodic_filter(w2, hi_e, stride=1, dilation=-1, offset=L // 2 - 1)
+        outs.append(ve)
+    v = jnp.stack(outs, axis=-1).reshape(*w1.shape[:-1], 2 * half)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# A-trous (SWT) steps — swt_one_level.jl conventions
+# ---------------------------------------------------------------------------
+
+def sdwt_step(v, d: int, lo: np.ndarray, hi: np.ndarray):
+    """One stationary (a-trous) analysis step at depth ``d``
+    (swt_one_level.jl:99-127).  Output length == input length."""
+    L = len(lo)
+    s = 1 << d
+    w1 = periodic_filter(v, lo, stride=1, dilation=s, offset=-s)
+    w2 = periodic_filter(v, hi, stride=1, dilation=s, offset=-(L - 1) * s)
+    return w1, w2
+
+
+def isdwt_step_shift(v_shape_n: int, w1, w2, d: int, sv: int, sw: int,
+                     lo: np.ndarray, hi: np.ndarray):
+    """Shift-based inverse SWT step (swt_one_level.jl:279-318).
+
+    Children are read on coset ``sw`` (stride 2^(d+1)); the reconstruction is
+    the decimated synthesis of those subsequences, scattered onto parent coset
+    ``sv`` (stride 2^d).  When ``sw == sv`` the reference writes outputs at
+    ``m - 2^d`` — a circular shift by one slot in the strided domain.
+
+    Returns a length-n array that is zero off the ``sv`` coset.
+    """
+    n = v_shape_n
+    assert 0 <= sv < (1 << d)
+    assert sv <= sw < (1 << (d + 1))
+    sc = 1 << (d + 1)
+    c1 = w1[..., sw::sc]
+    c2 = w2[..., sw::sc]
+    y = synthesis_step(c1, c2, lo, hi)  # length n / 2^d
+    if sw == sv:
+        y = jnp.roll(y, -1, axis=-1)
+    v = jnp.zeros(w1.shape[:-1] + (n,), dtype=w1.dtype)
+    v = v.at[..., sv:: (1 << d)].set(y)
+    return v
+
+
+def isdwt_step_average(w1, w2, d: int, lo: np.ndarray, hi: np.ndarray):
+    """Average-based inverse SWT step (swt_one_level.jl:257-277): for every
+    parent coset sv, average the sw=sv and sw=sv+2^d shift reconstructions.
+
+    Vectorized: run the decimated synthesis on *all* 2^(d+1) child cosets at
+    once, then combine.
+    """
+    n = w1.shape[-1]
+    sc = 1 << (d + 1)
+    nd = 1 << d
+    m = n // sc
+    # cosets[..., s, k] = w[..., k*sc + s]
+    c1 = jnp.moveaxis(w1.reshape(*w1.shape[:-1], m, sc), -1, -2)
+    c2 = jnp.moveaxis(w2.reshape(*w2.shape[:-1], m, sc), -1, -2)
+    y = synthesis_step(c1, c2, lo, hi)  # (..., sc, n/2^d)
+    y_noshift = jnp.roll(y[..., :nd, :], -1, axis=-1)  # sw == sv branch
+    y_shift = y[..., nd:, :]                           # sw == sv + 2^d branch
+    v_cosets = 0.5 * (y_noshift + y_shift)             # (..., 2^d, n/2^d)
+    v = jnp.moveaxis(v_cosets, -2, -1).reshape(*w1.shape[:-1], n)
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (ACWT) steps — acwt_one_level.jl conventions
+# ---------------------------------------------------------------------------
+
+def acdwt_step(v, d: int, ac_lo: np.ndarray, ac_hi: np.ndarray):
+    """One autocorrelation-wavelet analysis step (acwt_one_level.jl:101-128).
+
+    w[(i + (L//2+1)*2^d) % n] = sum_k f[k] * v[(i + (k+1)*2^d) % n]
+    i.e. a dilated correlation with a half-filter phase shift.
+    """
+    Lac = len(ac_lo)
+    s = 1 << d
+    off = s - (Lac // 2 + 1) * s
+    w1 = periodic_filter(v, ac_lo, stride=1, dilation=s, offset=off)
+    w2 = periodic_filter(v, ac_hi, stride=1, dilation=s, offset=off)
+    return w1, w2
+
+
+def iacdwt_step(w1, w2):
+    """Filterless ACWT inverse: (w1 + w2)/sqrt(2) (acwt_one_level.jl:217-224)."""
+    return (w1 + w2) * float(1.0 / np.sqrt(2.0))
+
+
+# ---------------------------------------------------------------------------
+# Separable 2-D wrappers (columns = axis -2, rows = axis -1, matching the
+# reference's Julia column-major order: columns first on analysis,
+# rows first on synthesis)
+# ---------------------------------------------------------------------------
+
+def _on_cols(fn, arrays, *args, **kwargs):
+    """Apply a last-axis op along axis -2 by transposing every array operand."""
+    swapped = [jnp.swapaxes(a, -1, -2) for a in arrays]
+    out = fn(*swapped, *args, **kwargs)
+    if isinstance(out, tuple):
+        return tuple(jnp.swapaxes(o, -1, -2) for o in out)
+    return jnp.swapaxes(out, -1, -2)
+
+
+def analysis_step2(v, lo, hi):
+    """2-D decimated step (dwt_one_level.jl:319-354): columns then rows.
+    Returns (w1, w2, w3, w4) = (LL, LH, HL, HH) quadrants, each (r/2, c/2)."""
+    t1, t2 = _on_cols(analysis_step, [v], lo, hi)  # low/high on columns
+    w1, w2 = analysis_step(t1, lo, hi)
+    w3, w4 = analysis_step(t2, lo, hi)
+    return w1, w2, w3, w4
+
+
+def synthesis_step2(w1, w2, w3, w4, lo, hi):
+    """2-D decimated inverse (dwt_one_level.jl:401-436): rows then columns."""
+    t1 = synthesis_step(w1, w2, lo, hi)
+    t2 = synthesis_step(w3, w4, lo, hi)
+    return _on_cols(synthesis_step, [t1, t2], lo, hi)
+
+
+def sdwt_step2(v, d, lo, hi):
+    """2-D a-trous step (swt_one_level.jl:334-370)."""
+    t1, t2 = _on_cols(sdwt_step, [v], d, lo, hi)
+    w1, w2 = sdwt_step(t1, d, lo, hi)
+    w3, w4 = sdwt_step(t2, d, lo, hi)
+    return w1, w2, w3, w4
+
+
+def isdwt_step2_average(w1, w2, w3, w4, d, lo, hi):
+    t1 = isdwt_step_average(w1, w2, d, lo, hi)
+    t2 = isdwt_step_average(w3, w4, d, lo, hi)
+    return _on_cols(isdwt_step_average, [t1, t2], d, lo, hi)
+
+
+def isdwt_step2_shift(n_rows, n_cols, w1, w2, w3, w4, d, sv, sw, lo, hi):
+    t1 = isdwt_step_shift(n_cols, w1, w2, d, sv, sw, lo, hi)
+    t2 = isdwt_step_shift(n_cols, w3, w4, d, sv, sw, lo, hi)
+    return _on_cols(
+        lambda a, b: isdwt_step_shift(n_rows, a, b, d, sv, sw, lo, hi),
+        [t1, t2])
+
+
+def acdwt_step2(v, d, ac_lo, ac_hi):
+    """2-D ACWT step (acwt_one_level.jl:228-322)."""
+    t1, t2 = _on_cols(acdwt_step, [v], d, ac_lo, ac_hi)
+    w1, w2 = acdwt_step(t1, d, ac_lo, ac_hi)
+    w3, w4 = acdwt_step(t2, d, ac_lo, ac_hi)
+    return w1, w2, w3, w4
+
+
+def iacdwt_step2(w1, w2, w3, w4):
+    t1 = iacdwt_step(w1, w2)
+    t2 = iacdwt_step(w3, w4)
+    return _on_cols(iacdwt_step, [t1, t2])

@@ -1,0 +1,340 @@
+"""Decimated wavelet transforms: dwt/wpt/wpd and inverses, 1-D and 2-D.
+
+Re-design of /root/reference/src/mod/DWT.jl (wpd! level/node loops at :131-209,
+tree-driven wpt at :500-548, inverses at :340-401,662-710) and of the
+Wavelets.jl base dwt/wpt the reference builds on.
+
+TPU-first layout: all functions are batched over arbitrary leading axes and
+jit-friendly.  1-D signals live on the last axis ``(..., n)``; 2-D images on
+the last two ``(..., n, m)``.  A wavelet-packet decomposition keeps the
+reference's level-stack layout — ``wpd`` returns ``(..., L+1, n)`` (level 0 is
+the raw signal), the 2-D version ``(..., L+1, n, m)`` — so level slices equal
+``wpt`` outputs exactly as in the reference tests (test/transforms.jl:29,42).
+
+Within a level slice, the 2^d nodes at depth d are contiguous blocks in
+natural (binary/quad tree) order; one level step runs the filter pair over
+*all* nodes at once by folding the node axis into the batch.
+
+Trees are host numpy bool arrays (see trees.py) and act as static arguments:
+tree-driven reconstruction unrolls into a fixed sequence of vectorized level
+sweeps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .._jit import apijit
+from ..filters import Wavelet, wavelet as _wavelet
+from ..trees import (maketree, maketree2d, maxtransformlevels, getdepth,
+                     tree_depth, getleaf, gettreelength)
+from ..kernels import conv
+
+
+def _wt(wt) -> Wavelet:
+    return _wavelet(wt) if isinstance(wt, str) else wt
+
+
+def _default_levels(n: int, L) -> int:
+    L0 = maxtransformlevels(n)
+    if L is None:
+        return L0
+    if not 0 <= L <= L0:
+        raise ValueError(f"L must be in 0..{L0}, got {L}")
+    return L
+
+
+# ---------------------------------------------------------------------------
+# Level steps over packed packet slices
+# ---------------------------------------------------------------------------
+
+def _wpt_level_fwd(cur, d: int, lo, hi):
+    """One packet level: split all 2^d nodes of the packed slice ``cur``
+    (..., n) into their children, producing the packed depth-(d+1) slice."""
+    n = cur.shape[-1]
+    nodes = cur.reshape(*cur.shape[:-1], 1 << d, n >> d)
+    w1, w2 = conv.analysis_step(nodes, lo, hi)
+    out = jnp.concatenate([w1, w2], axis=-1)  # [child_low | child_high] per node
+    return out.reshape(*cur.shape[:-1], n)
+
+
+def _wpt_level_inv(nxt, d: int, lo, hi):
+    """Merge all depth-(d+1) children in packed slice ``nxt`` back to depth d."""
+    n = nxt.shape[-1]
+    nodes = nxt.reshape(*nxt.shape[:-1], 1 << d, n >> d)
+    half = n >> (d + 1)
+    v = conv.synthesis_step(nodes[..., :half], nodes[..., half:], lo, hi)
+    return v.reshape(*nxt.shape[:-1], n)
+
+
+def _wpt_level_fwd2(cur, d: int, lo, hi):
+    """2-D packet level on (..., n, m): split each of the 4^d nodes into 4."""
+    n, m = cur.shape[-2:]
+    g = 1 << d
+    bn, bm = n // g, m // g
+    # (..., g, bn, g, bm) -> (..., g, g, bn, bm)
+    nodes = cur.reshape(*cur.shape[:-2], g, bn, g, bm)
+    nodes = jnp.moveaxis(nodes, -2, -3)
+    w1, w2, w3, w4 = conv.analysis_step2(nodes, lo, hi)
+    # reassemble children: parent (j,k) -> children at (2j+a, 2k+b)
+    top = jnp.concatenate([w1, w2], axis=-1)     # (..., g, g, bn/2, bm)
+    bot = jnp.concatenate([w3, w4], axis=-1)
+    quad = jnp.concatenate([top, bot], axis=-2)  # (..., g, g, bn, bm)
+    quad = jnp.moveaxis(quad, -3, -2)            # (..., g, bn, g, bm)
+    return quad.reshape(*cur.shape[:-2], n, m)
+
+
+def _wpt_level_inv2(nxt, d: int, lo, hi):
+    n, m = nxt.shape[-2:]
+    g = 1 << d
+    bn, bm = n // g, m // g
+    nodes = nxt.reshape(*nxt.shape[:-2], g, bn, g, bm)
+    nodes = jnp.moveaxis(nodes, -2, -3)          # (..., g, g, bn, bm)
+    hn, hm = bn // 2, bm // 2
+    w1 = nodes[..., :hn, :hm]
+    w2 = nodes[..., :hn, hm:]
+    w3 = nodes[..., hn:, :hm]
+    w4 = nodes[..., hn:, hm:]
+    v = conv.synthesis_step2(w1, w2, w3, w4, lo, hi)
+    v = jnp.moveaxis(v, -3, -2)
+    return v.reshape(*nxt.shape[:-2], n, m)
+
+
+# ---------------------------------------------------------------------------
+# WPD: full level-stacked decomposition
+# ---------------------------------------------------------------------------
+
+@apijit("wt", "L")
+def wpd(x, wt, L: int | None = None):
+    """1-D wavelet packet decomposition -> (..., L+1, n).
+
+    Level slice d holds the packed depth-d packet coefficients (reference
+    layout, DWT.jl:131-161 transposed to row-major)."""
+    w = _wt(wt)
+    n = x.shape[-1]
+    L = _default_levels(n, L)
+    slices = [x]
+    cur = x
+    for d in range(L):
+        cur = _wpt_level_fwd(cur, d, w.lo, w.hi)
+        slices.append(cur)
+    return jnp.stack(slices, axis=-2)
+
+
+@apijit("wt", "L")
+def wpd2(x, wt, L: int | None = None):
+    """2-D wavelet packet decomposition -> (..., L+1, n, m) (DWT.jl:164-209)."""
+    w = _wt(wt)
+    n, m = x.shape[-2:]
+    L = _default_levels(min(n, m), L)
+    slices = [x]
+    cur = x
+    for d in range(L):
+        cur = _wpt_level_fwd2(cur, d, w.lo, w.hi)
+        slices.append(cur)
+    return jnp.stack(slices, axis=-3)
+
+
+def _tree_split_levels(tree: np.ndarray, n: int, quad: bool = False):
+    """Per-level boolean masks (over the depth-d node axis) of which nodes are
+    split at that level."""
+    assert not quad
+    depth = tree_depth(tree, "binary")
+    masks = []
+    for d in range(depth):
+        g = 1 << d
+        mask = np.zeros(g, dtype=bool)
+        first = 1 << d  # 1-based index of leftmost depth-d node
+        for j in range(g):
+            idx = first + j
+            if idx - 1 < len(tree) and tree[idx - 1]:
+                mask[j] = True
+        masks.append(mask)
+    return masks
+
+
+@apijit("wt", "tree_or_L")
+def iwpd(xw, wt, tree_or_L=None):
+    """Inverse 1-D WPD from the level stack (DWT.jl:340-351).
+
+    ``tree_or_L`` may be an int level (reconstruct from full level L), a tree
+    bool array, or None (full depth)."""
+    w = _wt(wt)
+    n = xw.shape[-1]
+    Lmax = xw.shape[-2] - 1
+    if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
+        L = Lmax if tree_or_L is None else int(tree_or_L)
+        cur = xw[..., L, :]
+        for d in range(L - 1, -1, -1):
+            cur = _wpt_level_inv(cur, d, w.lo, w.hi)
+        return cur
+    tree = np.asarray(tree_or_L, dtype=bool)
+    masks = _tree_split_levels(tree, n, quad=False)
+    depth = len(masks)
+    cur = xw[..., depth, :]
+    for d in range(depth - 1, -1, -1):
+        merged = _wpt_level_inv(cur, d, w.lo, w.hi)
+        level = xw[..., d, :]
+        posmask = np.repeat(masks[d], n >> d)  # per-position: node split?
+        cur = jnp.where(jnp.asarray(posmask), merged, level)
+    return cur
+
+
+@apijit("wt", "tree_or_L")
+def iwpd2(xw, wt, tree_or_L=None):
+    """Inverse 2-D WPD (DWT.jl:354-401)."""
+    w = _wt(wt)
+    n, m = xw.shape[-2:]
+    Lmax = xw.shape[-3] - 1
+    if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
+        L = Lmax if tree_or_L is None else int(tree_or_L)
+        cur = xw[..., L, :, :]
+        for d in range(L - 1, -1, -1):
+            cur = _wpt_level_inv2(cur, d, w.lo, w.hi)
+        return cur
+    tree = np.asarray(tree_or_L, dtype=bool)
+    from ..utils import quad_split_masks
+    masks = quad_split_masks(tree, n, m)
+    depth = len(masks)
+    cur = xw[..., depth, :, :]
+    for d in range(depth - 1, -1, -1):
+        merged = _wpt_level_inv2(cur, d, w.lo, w.hi)
+        level = xw[..., d, :, :]
+        cur = jnp.where(jnp.asarray(masks[d]), merged, level)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# WPT: packet transform to a level or a tree (flat output)
+# ---------------------------------------------------------------------------
+
+@apijit("wt", "tree_or_L")
+def wpt(x, wt, tree_or_L=None):
+    """1-D wavelet packet transform -> (..., n) flat packed coefficients.
+
+    With an int/None argument: the packed depth-L slice.  With a tree: the
+    basis coefficients of the tree's leaves (reference 2-arg ``wpt`` with tree,
+    Wavelets.jl semantics / DWT.jl:500-548)."""
+    w = _wt(wt)
+    n = x.shape[-1]
+    if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
+        L = _default_levels(n, None if tree_or_L is None else int(tree_or_L))
+        cur = x
+        for d in range(L):
+            cur = _wpt_level_fwd(cur, d, w.lo, w.hi)
+        return cur
+    tree = np.asarray(tree_or_L, dtype=bool)
+    depth = tree_depth(tree, "binary")
+    xw = wpd(x, wt, depth)
+    from ..utils import getbasiscoef
+    return getbasiscoef(xw, tree)
+
+
+@apijit("wt", "tree_or_L")
+def iwpt(y, wt, tree_or_L=None):
+    """Inverse 1-D WPT from flat packed coefficients."""
+    w = _wt(wt)
+    n = y.shape[-1]
+    if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
+        L = _default_levels(n, None if tree_or_L is None else int(tree_or_L))
+        cur = y
+        for d in range(L - 1, -1, -1):
+            cur = _wpt_level_inv(cur, d, w.lo, w.hi)
+        return cur
+    tree = np.asarray(tree_or_L, dtype=bool)
+    masks = _tree_split_levels(tree, n, quad=False)
+    depth = len(masks)
+    cur = y
+    for d in range(depth - 1, -1, -1):
+        merged = _wpt_level_inv(cur, d, w.lo, w.hi)
+        posmask = np.repeat(masks[d], n >> d)
+        cur = jnp.where(jnp.asarray(posmask), merged, cur)
+    return cur
+
+
+@apijit("wt", "tree_or_L")
+def wpt2(x, wt, tree_or_L=None):
+    """2-D wavelet packet transform -> (..., n, m)."""
+    w = _wt(wt)
+    n, m = x.shape[-2:]
+    if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
+        L = _default_levels(min(n, m), None if tree_or_L is None else int(tree_or_L))
+        cur = x
+        for d in range(L):
+            cur = _wpt_level_fwd2(cur, d, w.lo, w.hi)
+        return cur
+    tree = np.asarray(tree_or_L, dtype=bool)
+    depth = tree_depth(tree, "quad")
+    xw = wpd2(x, wt, depth)
+    from ..utils import getbasiscoef2
+    return getbasiscoef2(xw, tree)
+
+
+@apijit("wt", "tree_or_L")
+def iwpt2(y, wt, tree_or_L=None):
+    w = _wt(wt)
+    n, m = y.shape[-2:]
+    if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
+        L = _default_levels(min(n, m), None if tree_or_L is None else int(tree_or_L))
+        cur = y
+        for d in range(L - 1, -1, -1):
+            cur = _wpt_level_inv2(cur, d, w.lo, w.hi)
+        return cur
+    tree = np.asarray(tree_or_L, dtype=bool)
+    from ..utils import quad_split_masks
+    masks = quad_split_masks(tree, n, m)
+    depth = len(masks)
+    cur = y
+    for d in range(depth - 1, -1, -1):
+        merged = _wpt_level_inv2(cur, d, w.lo, w.hi)
+        cur = jnp.where(jnp.asarray(masks[d]), merged, cur)
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Plain DWT (recursive on the approximation branch only)
+# ---------------------------------------------------------------------------
+
+@apijit("wt", "L")
+def dwt(x, wt, L: int | None = None):
+    """Standard 1-D DWT, Wavelets.jl layout:
+    [approx_L | detail_L | detail_{L-1} | ... | detail_1]."""
+    w = _wt(wt)
+    n = x.shape[-1]
+    L = _default_levels(n, L)
+    out = x
+    for d in range(L):
+        head = out[..., : n >> d]
+        w1, w2 = conv.analysis_step(head, w.lo, w.hi)
+        out = jnp.concatenate([w1, w2, out[..., n >> d:]], axis=-1)
+    return out
+
+
+@apijit("wt", "L")
+def idwt(y, wt, L: int | None = None):
+    w = _wt(wt)
+    n = y.shape[-1]
+    L = _default_levels(n, L)
+    out = y
+    for d in range(L - 1, -1, -1):
+        half = n >> (d + 1)
+        v = conv.synthesis_step(out[..., :half], out[..., half: 2 * half],
+                                w.lo, w.hi)
+        out = jnp.concatenate([v, out[..., 2 * half:]], axis=-1)
+    return out
+
+
+@apijit("wt", "L")
+def dwt2(x, wt, L: int | None = None):
+    """Standard 2-D DWT == wpt2 with the :dwt quadtree (test/transforms.jl:43)."""
+    n, m = x.shape[-2:]
+    L = _default_levels(min(n, m), L)
+    return wpt2(x, wt, maketree2d(n, m, L, "dwt"))
+
+
+@apijit("wt", "L")
+def idwt2(y, wt, L: int | None = None):
+    n, m = y.shape[-2:]
+    L = _default_levels(min(n, m), L)
+    return iwpt2(y, wt, maketree2d(n, m, L, "dwt"))

@@ -1,0 +1,189 @@
+"""Coefficient indexing/extraction utilities.
+
+Re-implements /root/reference/src/mod/Utils.jl: ``nodelength`` (:242),
+``packet`` (:269-273), ``main2depthshift`` (:297-305), basis-coefficient
+extraction ``getbasiscoef``/``getbasiscoefall`` (:101-225), coarsest/finest
+ranges (:345-436) and the quadtree spatial maps ``getrowrange``/``getcolrange``
+(:465-542).
+
+All index computation is host-side numpy over static trees; the only
+device work is a single gather per extraction (``take_along_axis`` picking,
+for every position, the level where the basis leaf covering it lives).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ._jit import apijit
+from .trees import (maxtransformlevels, getdepth, getleaf, getchildindex,
+                    gettreelength, tree_depth)
+
+
+def nodelength(N: int, L: int) -> int:
+    return N >> L
+
+
+def packet(d: int, b: int, n: int) -> slice:
+    """0-based slice of block ``b`` at depth ``d`` (Utils.jl:269-273)."""
+    size = n >> d
+    return slice(b * size, (b + 1) * size)
+
+
+def main2depthshift(sm: int, L: int) -> np.ndarray:
+    """Cumulative per-depth shifts for an overall shift ``sm``
+    (Utils.jl:297-305).  Returns length L+1, entry d = shift at depth d."""
+    assert sm < (1 << L), "shift must be < 2^L"
+    sb = [(sm >> d) & 1 for d in range(L)]
+    sd = np.cumsum([sb[d] << d for d in range(L)])
+    return np.concatenate([[0], sd]).astype(int)
+
+
+# ---------------------------------------------------------------------------
+# Quadtree spatial ranges
+# ---------------------------------------------------------------------------
+
+def getrowrange(n: int, idx: int) -> slice:
+    """0-based row slice for quadtree node ``idx`` (1-based; Utils.jl:465-505).
+    Children 4i-2/4i-1 (UL/UR) take the upper half; 4i/4i+1 the lower."""
+    if idx == 1:
+        return slice(0, n)
+    parent = (idx + 2) // 4
+    prng = getrowrange(n, parent)
+    mid = (prng.start + prng.stop) // 2
+    if idx < 4 * parent:
+        return slice(prng.start, mid)
+    return slice(mid, prng.stop)
+
+
+def getcolrange(n: int, idx: int) -> slice:
+    """0-based column slice for quadtree node ``idx`` (Utils.jl:508-542).
+    Even child ids (4i-2, 4i) take the left half; odd the right."""
+    if idx == 1:
+        return slice(0, n)
+    parent = (idx + 2) // 4
+    prng = getcolrange(n, parent)
+    mid = (prng.start + prng.stop) // 2
+    if idx % 2 == 0:
+        return slice(prng.start, mid)
+    return slice(mid, prng.stop)
+
+
+def quad_split_masks(tree: np.ndarray, n: int, m: int) -> list:
+    """Per-level (n, m) boolean masks: True where the covering depth-d node is
+    split.  Drives the vectorized tree reconstruction in transforms/dwt.py."""
+    tree = np.asarray(tree, dtype=bool)
+    depth = tree_depth(tree, "quad")
+    masks = []
+    for d in range(depth):
+        mask = np.zeros((n, m), dtype=bool)
+        first = ((1 << (2 * d)) - 1) // 3 + 1  # first 1-based index at depth d
+        count = 1 << (2 * d)
+        for i in range(first, first + count):
+            if i - 1 < len(tree) and tree[i - 1]:
+                mask[getrowrange(n, i), getcolrange(m, i)] = True
+        masks.append(mask)
+    return masks
+
+
+# ---------------------------------------------------------------------------
+# Basis coefficient extraction
+# ---------------------------------------------------------------------------
+
+def _leaf_level_map(tree: np.ndarray, n: int) -> np.ndarray:
+    """For each packed position, the depth of the basis leaf covering it."""
+    tree = np.asarray(tree, dtype=bool)
+    leaf = getleaf(tree, "binary")
+    lvl = np.zeros(n, dtype=np.int32)
+    for i0, isleaf in enumerate(leaf):
+        if isleaf:
+            i = i0 + 1
+            d = getdepth(i, "binary")
+            nn = i - (1 << d)
+            n0 = n >> d
+            lvl[nn * n0:(nn + 1) * n0] = d
+    return lvl
+
+
+def _leaf_level_map2(tree: np.ndarray, n: int, m: int) -> np.ndarray:
+    tree = np.asarray(tree, dtype=bool)
+    leaf = getleaf(tree, "quad")
+    lvl = np.zeros((n, m), dtype=np.int32)
+    for i0, isleaf in enumerate(leaf):
+        if isleaf:
+            i = i0 + 1
+            d = getdepth(i, "quad")
+            lvl[getrowrange(n, i), getcolrange(m, i)] = d
+    return lvl
+
+
+@apijit("tree")
+def getbasiscoef(xw, tree) -> jnp.ndarray:
+    """Extract flat basis coefficients from a 1-D WPD stack ``(..., L+1, n)``
+    for a static ``tree`` (Utils.jl:101-134)."""
+    n = xw.shape[-1]
+    k = xw.shape[-2]
+    lvl = _leaf_level_map(tree, n)
+    if int(lvl.max(initial=0)) >= k:
+        raise ValueError("Not enough decomposition levels in xw.")
+    idx = jnp.asarray(lvl)[None, :].astype(jnp.int32)
+    idx = jnp.broadcast_to(idx, xw.shape[:-2] + (1, n))
+    return jnp.take_along_axis(xw, idx, axis=-2)[..., 0, :]
+
+
+@apijit("tree")
+def getbasiscoef2(xw, tree) -> jnp.ndarray:
+    """2-D version over ``(..., L+1, n, m)`` (Utils.jl getbasiscoef N==3)."""
+    n, m = xw.shape[-2:]
+    k = xw.shape[-3]
+    lvl = _leaf_level_map2(tree, n, m)
+    if int(lvl.max(initial=0)) >= k:
+        raise ValueError("Not enough decomposition levels in xw.")
+    idx = jnp.asarray(lvl)[None, :, :].astype(jnp.int32)
+    idx = jnp.broadcast_to(idx, xw.shape[:-3] + (1, n, m))
+    return jnp.take_along_axis(xw, idx, axis=-3)[..., 0, :, :]
+
+
+@apijit("trees")
+def getbasiscoefall(xw, trees) -> jnp.ndarray:
+    """Per-signal trees: ``xw`` is ``(N, L+1, n)`` and ``trees`` an ``(N, nt)``
+    bool array (host or device).  Mirrors Utils.jl:169-225 (BitMatrix case),
+    vectorized as one gather."""
+    trees = np.asarray(trees)
+    if trees.ndim == 1:
+        return getbasiscoef(xw, trees)
+    n = xw.shape[-1]
+    lvls = np.stack([_leaf_level_map(t, n) for t in trees])  # (N, n)
+    idx = jnp.asarray(lvls)[:, None, :].astype(jnp.int32)
+    return jnp.take_along_axis(xw, idx, axis=-2)[..., 0, :]
+
+
+# ---------------------------------------------------------------------------
+# Coarsest-scaling / finest-detail ranges (noise estimation entry points)
+# ---------------------------------------------------------------------------
+
+def coarsestscalingrange(n: int, tree: np.ndarray, redundant: bool = False):
+    """Utils.jl:345-375.  Non-redundant: 0-based slice into the flat basis
+    coefficients.  Redundant: (slice(0, n), node_index_1based)."""
+    tree = np.asarray(tree, dtype=bool)
+    i, j = 1, 0
+    while i < len(tree) and tree[i - 1]:
+        i = getchildindex(i, "left")
+        j += 1
+    if not redundant:
+        return slice(0, n >> j)
+    return (slice(0, n), i)
+
+
+def finestdetailrange(n: int, tree: np.ndarray, redundant: bool = False):
+    """Utils.jl:416-436."""
+    tree = np.asarray(tree, dtype=bool)
+    i, j = 1, 0
+    while i <= len(tree) and tree[i - 1]:
+        i = getchildindex(i, "right")
+        j += 1
+    if not redundant:
+        n0 = nodelength(n, j)
+        return slice(n - n0, n)
+    return (slice(0, n), i)
