@@ -17,5 +17,12 @@ from .utils import (nodelength, packet, main2depthshift, getrowrange,
                     coarsestscalingrange, finestdetailrange)
 from .transforms.dwt import (dwt, idwt, dwt2, idwt2, wpt, iwpt, wpt2, iwpt2,
                              wpd, iwpd, wpd2, iwpd2)
+from .transforms.swt import (sdwt, sdwt2, isdwt, isdwt2, swpt, swpt2, iswpt,
+                             iswpt2, swpd, swpd2, iswpd, iswpd2)
+from .transforms.acwt import (acdwt, acdwt2, iacdwt, iacdwt2, acwpt, acwpt2,
+                              iacwpt, iacwpt2, acwpd, acwpd2, iacwpd, iacwpd2)
+from .datasets import (generatesignals, duplicatesignals, ClassData,
+                       generateclassdata)
+from .metrics import relativenorm, psnr, snr, ssim
 
 __version__ = "0.1.0"
