@@ -1,0 +1,137 @@
+"""Best-basis tests (reference test/bestbasis.jl + an exhaustive-search
+optimality check the reference lacks)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import waveletsext_tpu as wx
+from waveletsext_tpu import basis
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(scope="module")
+def data():
+    x = jnp.asarray(RNG.standard_normal((5, 16)))
+    y = jnp.asarray(RNG.standard_normal((5, 16, 16)))
+    return {
+        "x": x, "y": y,
+        "xw": wx.wpd(x, "haar"),
+        "xsw": wx.swpd(x, "haar"),
+        "xacw": wx.acwpd(x, "haar"),
+        "yw": wx.wpd2(y, "haar"),
+        "ysw": wx.swpd2(y, "haar"),
+    }
+
+
+def test_bb(data):
+    t = basis.bestbasistree(data["xw"][0], basis.BB())
+    assert wx.isvalidtree(t, "binary")
+    ts = basis.bestbasistreeall(data["xw"], basis.BB())
+    assert ts.shape[0] == 5 and wx.isvalidtree(ts[0], "binary")
+    ts = basis.bestbasistreeall(
+        data["xw"], basis.BB(basis.LogEnergyEntropyCost(), False))
+    assert wx.isvalidtree(ts[0], "binary")
+    ts = basis.bestbasistreeall(data["xsw"], basis.BB(redundant=True))
+    assert wx.isvalidtree(ts[0], "binary")
+    ts = basis.bestbasistreeall(data["xacw"], basis.BB(redundant=True))
+    assert wx.isvalidtree(ts[0], "binary")
+    t = basis.bestbasistree(data["yw"][0], basis.BB(), is2d=True)
+    assert wx.isvalidtree(t, "quad")
+    ts = basis.bestbasistreeall(data["yw"], basis.BB(), is2d=True)
+    assert wx.isvalidtree(ts[0], "quad")
+    ts = basis.bestbasistreeall(data["ysw"], basis.BB(redundant=True), is2d=True)
+    assert wx.isvalidtree(ts[0], "quad")
+
+
+def test_jbb(data):
+    assert wx.isvalidtree(basis.bestbasistree(data["xw"]), "binary")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["xw"], basis.JBB(basis.NormCost(), False)),
+        "binary")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["xsw"], basis.JBB(redundant=True)), "binary")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["xacw"], basis.JBB(redundant=True)), "binary")
+    assert wx.isvalidtree(basis.bestbasistree(data["yw"], is2d=True), "quad")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["yw"], basis.JBB(basis.NormCost(), False),
+                            is2d=True), "quad")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["ysw"], basis.JBB(redundant=True), is2d=True),
+        "quad")
+
+
+def test_lsdb(data):
+    assert wx.isvalidtree(basis.bestbasistree(data["xw"], basis.LSDB()),
+                          "binary")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["xsw"], basis.LSDB(redundant=True)), "binary")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["xacw"], basis.LSDB(redundant=True)), "binary")
+    assert wx.isvalidtree(basis.bestbasistree(data["yw"], basis.LSDB(),
+                                              is2d=True), "quad")
+    assert wx.isvalidtree(
+        basis.bestbasistree(data["ysw"], basis.LSDB(redundant=True), is2d=True),
+        "quad")
+
+
+def _leaf_total(tree, costs):
+    """Total cost of the basis leaves implied by ``tree``."""
+    total = 0.0
+    k = len(costs)
+
+    def rec(i):
+        nonlocal total
+        if i - 1 < len(tree) and tree[i - 1]:
+            rec(2 * i)
+            rec(2 * i + 1)
+        else:
+            total += costs[i - 1]
+    rec(1)
+    return total
+
+
+def _all_trees(nt, k):
+    """Enumerate all valid binary trees (split masks) for nt-node trees whose
+    children cost indices stay within k."""
+    out = []
+
+    def rec(tree, frontier):
+        out.append(tree.copy())
+        for i in frontier:
+            if i <= nt and 2 * i + 1 <= k and not tree[i - 1]:
+                t2 = tree.copy()
+                t2[i - 1] = True
+                rec(t2, [j for j in frontier if j != i] + [2 * i, 2 * i + 1])
+    rec(np.zeros(nt, dtype=bool), [1])
+    return out
+
+
+def test_cw_selection_is_optimal():
+    """The CW pruning must find the global minimum over all valid trees."""
+    rng = np.random.default_rng(3)
+    k = 15   # nodes of a 3-level decomposition of n=8
+    nt = 7
+    for _ in range(5):
+        costs = rng.standard_normal(k) + 2.0
+        tree = basis.bestbasis_treeselection(costs.copy(), 8)
+        got = _leaf_total(tree, costs)
+        best = min(_leaf_total(t, costs) for t in _all_trees(nt, k))
+        assert np.isclose(got, best)
+
+
+def test_selection_batched_matches_single():
+    rng = np.random.default_rng(4)
+    costs = rng.standard_normal((6, 15)) + 1.0
+    trees = basis.bestbasis_treeselection(costs.copy(), 8)
+    for i in range(6):
+        ti = basis.bestbasis_treeselection(costs[i].copy(), 8)
+        assert np.array_equal(trees[i], ti)
+
+
+def test_jbb_reconstruction_roundtrip(data):
+    tree = basis.bestbasistree(data["xw"])
+    coefs = wx.getbasiscoef(data["xw"], tree)
+    assert np.allclose(wx.iwpt(coefs, "haar", tree), data["x"])

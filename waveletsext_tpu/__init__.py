@@ -24,5 +24,9 @@ from .transforms.acwt import (acdwt, acdwt2, iacdwt, iacdwt2, acwpt, acwpt2,
 from .datasets import (generatesignals, duplicatesignals, ClassData,
                        generateclassdata)
 from .metrics import relativenorm, psnr, snr, ssim
+from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
+                    LoglpCost, NormCost, DifferentialEntropyCost, coefcost,
+                    tree_costs, bestbasis_treeselection, bestbasistree,
+                    bestbasistreeall)
 
 __version__ = "0.1.0"

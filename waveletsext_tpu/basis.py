@@ -1,0 +1,322 @@
+"""Best-basis search: cost functionals + Coifman-Wickerhauser selection.
+
+Re-design of /root/reference/src/mod/BestBasis.jl and
+bestbasis/bestbasis_costs.jl, bestbasis/bestbasis_tree.jl.
+
+Split of work:
+* **Device**: all per-node cost reductions (``tree_costs``) run as one jitted
+  program, vectorized over the node axis per level (the reference loops nodes
+  serially, bestbasis_tree.jl:160-176).  Batch moments for JBB (E[X], E[X^2])
+  are plain reductions that shard cleanly over a data-parallel mesh (psum).
+* **Host**: the O(2^L) bottom-up Coifman-Wickerhauser pruning
+  (BestBasis.jl:59-110) over the tiny cost vector, vectorized across a batch
+  of signals for ``bestbasistreeall``.  The resulting numpy bool trees are
+  static arguments to every downstream jitted transform.
+
+Layouts are batch-first: decomposed stacks are ``(N, L+1, n)`` / ``(N, L+1,
+n, m)`` (wpd) or ``(N, nodes, n)`` / ``(N, nodes, n, m)`` (swpd/acwpd with
+``redundant=True``), matching transforms/*.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .trees import (maketree, maketree2d, maxtransformlevels, getdepth,
+                    gettreelength, getchildindex, isvalidtree)
+from .utils import getrowrange, getcolrange
+
+
+# ---------------------------------------------------------------------------
+# Cost functionals (bestbasis_costs.jl)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ShannonEntropyCost:
+    """-sum s*log(s), s = (x/nrm)^2 (bestbasis_costs.jl:104-108)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class LogEnergyEntropyCost:
+    """-sum log(s) (bestbasis_costs.jl:110-114)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class LoglpCost:
+    """p * sum(log|x|) (bestbasis_costs.jl:127-130)."""
+    p: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class NormCost:
+    """||x||_p^p (bestbasis_costs.jl:132)."""
+    p: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class DifferentialEntropyCost:
+    """ASH-based empirical differential entropy (bestbasis_costs.jl:135-164)."""
+
+
+def coefcost(x, cost, nrm=None):
+    """Cost of a coefficient block.  ``x`` reduces over its full shape except
+    that DifferentialEntropyCost treats the *last* axis as the sample axis
+    (multi-coordinate form of bestbasis_costs.jl:157-164)."""
+    if isinstance(cost, ShannonEntropyCost):
+        if nrm is None:
+            nrm = jnp.linalg.norm(x.ravel())
+        s = (x / nrm) ** 2
+        return -jnp.sum(jnp.where(s == 0, 0.0, s * jnp.log(s)))
+    if isinstance(cost, LogEnergyEntropyCost):
+        if nrm is None:
+            nrm = jnp.linalg.norm(x.ravel())
+        s = (x / nrm) ** 2
+        return -jnp.sum(jnp.where(s == 0, 0.0, jnp.log(s)))
+    if isinstance(cost, LoglpCost):
+        return cost.p * jnp.sum(jnp.log(jnp.abs(x)))
+    if isinstance(cost, NormCost):
+        return jnp.sum(jnp.abs(x) ** cost.p)
+    if isinstance(cost, DifferentialEntropyCost):
+        coords = x.reshape(-1, x.shape[-1])
+        return jnp.sum(jax.vmap(_ash_differential_entropy)(coords))
+    raise TypeError(f"unknown cost {cost!r}")
+
+
+def _ash_differential_entropy(x):
+    """Differential entropy of the samples ``x`` via an average-shifted
+    histogram with triangular kernel (bestbasis_costs.jl:135-155: M=50,
+    nbins=ceil((30N)^(1/5)), mbins=ceil(M/nbins))."""
+    N = x.shape[0]
+    M = 50
+    nbins = int(np.ceil((30 * N) ** 0.2))
+    mbins = int(np.ceil(M / nbins))
+    g = (nbins + 1) * mbins  # grid size
+
+    sigma = jnp.std(x, ddof=1)
+    lo = jnp.min(x) - 0.5 * sigma
+    hi = jnp.max(x) + 0.5 * sigma
+    delta = (jnp.max(x) - jnp.min(x) + sigma) / (g - 1)
+    # histogram counts on the grid bins [lo + i*delta, lo + (i+1)*delta)
+    idx = jnp.clip(jnp.floor((x - lo) / delta), 0, g - 1).astype(jnp.int32)
+    counts = jnp.zeros(g, x.dtype).at[idx].add(1.0)
+    # triangular-kernel smoothing over a window of mbins shifts
+    weights = np.array([1.0 - abs(j) / mbins for j in range(-mbins + 1, mbins)])
+    smoothed = jnp.zeros(g, x.dtype)
+    for off, wgt in zip(range(-mbins + 1, mbins), weights):
+        shifted = jnp.roll(counts, off)
+        # zero out wrapped entries
+        if off > 0:
+            shifted = shifted.at[:off].set(0.0)
+        elif off < 0:
+            shifted = shifted.at[off:].set(0.0)
+        smoothed = smoothed + float(wgt) * shifted
+    density = smoothed / (jnp.sum(smoothed) * delta)
+    # evaluate pdf at each sample (grid floor lookup) and average the -log
+    pdf_at_x = density[idx]
+    return -jnp.mean(jnp.log(jnp.maximum(pdf_at_x, 1e-300)))
+
+
+# ---------------------------------------------------------------------------
+# Best-basis method types (bestbasis_tree.jl:25-64)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BB:
+    cost: object = ShannonEntropyCost()
+    redundant: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class JBB:
+    cost: object = LoglpCost(2.0)
+    redundant: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class LSDB:
+    cost: object = DifferentialEntropyCost()
+    redundant: bool = False
+
+
+# ---------------------------------------------------------------------------
+# tree_costs — device side
+# ---------------------------------------------------------------------------
+
+def _zorder_perm(d: int) -> np.ndarray:
+    """Permutation taking row-major (j,k) level-d block costs to quadtree
+    node order (Z-order by construction of child indices 4i-2..4i+1)."""
+    g = 1 << d
+    perm = np.zeros(g * g, dtype=np.int64)
+    for b in range(g * g):
+        j = k = 0
+        for bit in range(d):
+            q = (b >> (2 * (d - 1 - bit))) & 3
+            j = (j << 1) | (q >> 1)
+            k = (k << 1) | (q & 1)
+        perm[b] = j * g + k
+    return perm
+
+
+def _per_node_costs_1d(sig, cost, nrm=None):
+    """Costs of every node of a level stack ``(L+1, n[, extra])`` in 1-based
+    node order.  ``extra`` trailing axes (e.g. batch for LSDB) are folded into
+    the cost reduction."""
+    Lp1, n = sig.shape[0], sig.shape[1]
+    out = []
+    for d in range(Lp1):
+        lvl = sig[d]
+        blocks = lvl.reshape((1 << d, n >> d) + lvl.shape[1:])
+        costs = jax.vmap(lambda b: coefcost(b, cost, nrm))(blocks)
+        out.append(costs)
+    return jnp.concatenate(out)
+
+
+def _per_node_costs_2d(sig, cost, nrm=None):
+    """Costs of every quadtree node of ``(L+1, n, m[, extra])``."""
+    Lp1, n, m = sig.shape[0], sig.shape[1], sig.shape[2]
+    out = []
+    for d in range(Lp1):
+        lvl = sig[d]
+        g = 1 << d
+        bn, bm = n // g, m // g
+        blocks = lvl.reshape((g, bn, g, bm) + lvl.shape[2:])
+        blocks = jnp.moveaxis(blocks, 2, 1)  # (g, g, bn, bm, ...)
+        blocks = blocks.reshape((g * g, bn, bm) + lvl.shape[2:])
+        costs = jax.vmap(lambda b: coefcost(b, cost, nrm))(blocks)
+        out.append(costs[_zorder_perm(d)])
+    return jnp.concatenate(out)
+
+
+def _redundant_node_costs(table, cost, nrm=None, quad=False):
+    """Costs of each node of an all-node redundant table ``(nodes, n[, ...])``
+    with the 1/2^d (1-D) or 1/4^d (2-D) normalization
+    (bestbasis_tree.jl:107-112,161-165,215-220)."""
+    k = table.shape[0]
+    costs = jax.vmap(lambda b: coefcost(b, cost, nrm))(table)
+    scale = np.array([
+        1.0 / (1 << (2 * getdepth(i, "quad") if quad else
+                     getdepth(i, "binary")))
+        for i in range(1, k + 1)])
+    return costs * jnp.asarray(scale)
+
+
+@functools.partial(jax.jit, static_argnames=("method", "is2d"))
+def tree_costs(X, method, is2d: bool = False):
+    """Per-node cost vector for a batch of decomposed signals
+    (bestbasis_tree.jl:104-256).
+
+    ``X``: (N, L+1, n[, m]) for wpd stacks, (N, nodes, n[, m]) for redundant
+    tables (``method.redundant=True``).  BB additionally accepts a single
+    decomposition (L+1, n[, m]).
+    """
+    if isinstance(method, JBB):
+        EX = jnp.mean(X, axis=0)
+        EX2 = jnp.mean(X ** 2, axis=0)
+        sigma = jnp.sqrt(jnp.maximum(EX2 - EX ** 2, 0.0))
+        if method.redundant:
+            return _redundant_node_costs(sigma, method.cost, quad=is2d)
+        return (_per_node_costs_2d(sigma, method.cost) if is2d
+                else _per_node_costs_1d(sigma, method.cost))
+    if isinstance(method, LSDB):
+        # sample axis (batch) moves last so it is the reduction axis of the
+        # per-coordinate differential entropy
+        Xl = jnp.moveaxis(X, 0, -1)
+        if method.redundant:
+            return _redundant_node_costs(Xl, method.cost, quad=is2d)
+        return (_per_node_costs_2d(Xl, method.cost) if is2d
+                else _per_node_costs_1d(Xl, method.cost))
+    if isinstance(method, BB):
+        # single signal: (L+1/nodes, n[, m])
+        root = X[0]
+        nrm = jnp.linalg.norm(root.ravel())
+        if method.redundant:
+            return _redundant_node_costs(X, method.cost, nrm, quad=is2d)
+        return (_per_node_costs_2d(X, method.cost, nrm) if is2d
+                else _per_node_costs_1d(X, method.cost, nrm))
+    raise TypeError(f"unknown method {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Coifman-Wickerhauser selection — host side
+# ---------------------------------------------------------------------------
+
+def _subtree_indices(i: int, nt: int, quad: bool) -> list:
+    kids = ([getchildindex(i, "left"), getchildindex(i, "right")]
+            if not quad else
+            [getchildindex(i, c) for c in
+             ("topleft", "topright", "bottomleft", "bottomright")])
+    out = [i]
+    for c in kids:
+        if c <= nt:
+            out.extend(_subtree_indices(c, nt, quad))
+    return out
+
+
+def bestbasis_treeselection(costs, n: int, m: int | None = None,
+                            selection: str = "min") -> np.ndarray:
+    """Bottom-up CW pruning (BestBasis.jl:59-110).  ``costs`` is ``(k,)`` or
+    ``(B, k)`` (per-signal); returns ``(nt,)`` or ``(B, nt)`` bool trees."""
+    costs = np.asarray(costs, dtype=np.float64).copy()
+    squeeze = costs.ndim == 1
+    if squeeze:
+        costs = costs[None, :]
+    B, k = costs.shape
+    quad = m is not None
+    if quad:
+        L = getdepth(k, "quad")
+        tree0 = maketree2d(n, m, L, "full")
+    else:
+        L = getdepth(k, "binary")
+        tree0 = maketree(n, L, "full")
+    nt = len(tree0)
+    trees = np.tile(tree0, (B, 1))
+    better = np.less if selection == "min" else np.greater
+    for i in range(nt, 0, -1):
+        alive = trees[:, i - 1]
+        if not alive.any():
+            continue
+        pc = costs[:, i - 1]
+        if quad:
+            cc = sum(costs[:, getchildindex(i, c) - 1] for c in
+                     ("topleft", "topright", "bottomleft", "bottomright"))
+        else:
+            cc = (costs[:, getchildindex(i, "left") - 1]
+                  + costs[:, getchildindex(i, "right") - 1])
+        keep = better(cc, pc) & alive
+        costs[keep, i - 1] = cc[keep]
+        kill = alive & ~keep
+        if kill.any():
+            sub = [j - 1 for j in _subtree_indices(i, nt, quad)]
+            trees[np.ix_(kill, sub)] = False
+    return trees[0] if squeeze else trees
+
+
+def bestbasistree(X, method=None, is2d: bool = False) -> np.ndarray:
+    """Best-basis tree for a batch (JBB/LSDB) or single signal (BB)
+    (BestBasis.jl:185-217).  Default method: JBB()."""
+    method = JBB() if method is None else method
+    X = jnp.asarray(X)
+    costs = np.asarray(tree_costs(X, method, is2d))
+    if is2d:
+        n, m = X.shape[-2:]
+        return bestbasis_treeselection(costs, n, m)
+    return bestbasis_treeselection(costs, X.shape[-1])
+
+
+def bestbasistreeall(X, method=None, is2d: bool = False) -> np.ndarray:
+    """Per-signal BB trees for a batch -> (N, nt) bool
+    (BestBasis.jl:253-262)."""
+    method = BB() if method is None else method
+    assert isinstance(method, BB)
+    X = jnp.asarray(X)
+    costs = np.asarray(jax.vmap(
+        lambda s: tree_costs(s, method, is2d))(X))
+    if is2d:
+        n, m = X.shape[-2:]
+        return bestbasis_treeselection(costs, n, m)
+    return bestbasis_treeselection(costs, X.shape[-1])
