@@ -7,7 +7,11 @@ Bench runs (bench.py) use the real TPU chip instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Run the parity suite on the local CPU backend with 8 virtual devices.
+# (The axon sitecustomize would otherwise register the remote TPU backend,
+# sending every tiny test compile through the tunnel.)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +19,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon sitecustomize force-selects its remote TPU platform via
+# jax.config (env vars are overridden) — select local CPU back.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: each fresh XLA compile is expensive in this
