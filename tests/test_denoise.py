@@ -1,0 +1,126 @@
+"""Denoising tests (reference test/denoising.jl statistical bounds)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import waveletsext_tpu as wx
+from waveletsext_tpu import denoising as dn
+
+RNG = np.random.default_rng(23)
+
+
+def _relerr(a, b):
+    return float(wx.relativenorm(jnp.asarray(a), jnp.asarray(b)))
+
+
+def test_shrink_constructors():
+    assert dn.visushrink(8).t == np.sqrt(2 * np.log(8))
+    assert isinstance(dn.RelErrorShrink(), dn.RelErrorShrink)
+    x = jnp.asarray(RNG.standard_normal(8))
+    s = dn.sureshrink(x)
+    assert isinstance(s, dn.SureShrink)
+    tree = wx.maketree(8, 3, "full")
+    assert isinstance(dn.sureshrink(x, False, tree), dn.SureShrink)
+
+
+def test_denoise_single():
+    n = 2 ** 8
+    x0 = wx.generatesignals("heavisine", 8)
+    x = jnp.asarray(x0 + 0.5 * RNG.standard_normal(n))
+    x0 = jnp.asarray(x0)
+    err = _relerr(x, x0)
+    dnt = dn.VisuShrink(dn.HardTH(), np.sqrt(2 * np.log(2)))
+
+    y = dn.denoise(x, "sig", "haar", dnt=dnt)
+    assert _relerr(y, x0) <= err
+    y = dn.denoise(wx.dwt(x, "haar", 4), "dwt", "haar", L=4, dnt=dnt,
+                   smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+    y = dn.denoise(wx.dwt(x, "haar"), "dwt", "haar", dnt=dnt,
+                   smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+    y = dn.denoise(wx.wpt(x, "haar"), "wpt", "haar",
+                   tree=wx.maketree(n, 8, "full"), dnt=dnt,
+                   smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+    y = dn.denoise(wx.sdwt(x, "haar"), "sdwt", "haar", dnt=dnt,
+                   smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+    y = dn.denoise(wx.swpd(x, "haar"), "swpd", "haar", smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+    y = dn.denoise(wx.acdwt(x, "haar"), "acdwt", "haar", dnt=dnt,
+                   smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+    y = dn.denoise(wx.acwpd(x, "haar"), "acwpd", "haar", smooth="undersmooth")
+    assert _relerr(y, x0) <= 2 * err
+
+
+def test_denoise_group():
+    n = 2 ** 8
+    base = wx.generatesignals("heavisine", 8)
+    x0 = jnp.asarray(wx.duplicatesignals(base, 5, 2))
+    x = jnp.asarray(wx.duplicatesignals(base, 5, 2, True, 0.5,
+                                        rng=np.random.default_rng(5)))
+    max_err = max(_relerr(x[i], x0[i]) for i in range(5))
+    dnt = dn.VisuShrink(dn.HardTH(), np.sqrt(2 * np.log(2)))
+
+    def mean_err(y):
+        return np.mean([_relerr(y[i], x0[i]) for i in range(5)])
+
+    y = dn.denoise(x, "sig", "haar", dnt=dnt, bestTH="mean")
+    assert mean_err(y) <= max_err
+    y = dn.denoise(wx.dwt(x, "haar"), "dwt", "haar", dnt=dnt)
+    assert mean_err(y) <= max_err
+    dnt2 = dn.RelErrorShrink(dn.HardTH(), 0.3)
+    tree = wx.maketree(n, 8, "full")
+    y = dn.denoise(wx.wpt(x, "haar"), "wpt", "haar", tree=tree, dnt=dnt2,
+                   estnoise=dn.relerrorthreshold)
+    assert mean_err(y) <= max_err
+    y = dn.denoise(wx.wpt(x, "haar"), "wpt", "haar", tree=tree, dnt=dnt2,
+                   estnoise=dn.relerrorthreshold, bestTH="mean")
+    assert mean_err(y) <= max_err
+    y = dn.denoise(wx.sdwt(x, "haar"), "sdwt", "haar")
+    assert mean_err(y) <= max_err
+    y = dn.denoise(wx.sdwt(x, "haar"), "sdwt", "haar", dnt=dnt2,
+                   estnoise=dn.relerrorthreshold, bestTH="mean")
+    assert mean_err(y) <= max_err
+    tree7 = wx.maketree(n, 7, "full")
+    y = dn.denoise(wx.swpd(x, "haar", 7), "swpd", "haar", tree=tree7, dnt=dnt2,
+                   estnoise=dn.relerrorthreshold)
+    assert mean_err(y) <= max_err
+    y = dn.denoise(wx.acdwt(x, "haar"), "acdwt", "haar")
+    assert mean_err(y) <= max_err
+    y = dn.denoise(wx.acwpd(x, "haar", 7), "acwpd", "haar", tree=tree7,
+                   dnt=dnt2, estnoise=dn.relerrorthreshold)
+    assert mean_err(y) <= max_err
+
+
+def test_threshold_determination_types():
+    x = jnp.asarray(RNG.standard_normal(32))
+    tree = wx.maketree(32, 5, "full")
+    assert np.isfinite(float(dn.noisest(x, False)))
+    assert np.isfinite(float(dn.surethreshold(x, False)))
+    assert np.isfinite(float(dn.relerrorthreshold(x, False)))
+    xs = jnp.asarray(RNG.standard_normal((6, 32))).T  # (32, 6) per-node table
+    xs = jnp.asarray(RNG.standard_normal((6, 32)))    # (L+1, n) layout
+    assert np.isfinite(float(dn.noisest(xs, True, None)))
+    assert np.isfinite(float(dn.surethreshold(xs, True, None)))
+    assert np.isfinite(float(dn.relerrorthreshold(xs, True, None)))
+    xw = jnp.asarray(RNG.standard_normal((63, 32)))   # all-node table
+    assert np.isfinite(float(dn.noisest(xw, True, tree)))
+    assert np.isfinite(float(dn.surethreshold(xw, True, tree)))
+    assert np.isfinite(float(dn.relerrorthreshold(xw, True, tree)))
+
+
+def test_batched_threshold_matches_single():
+    x = jnp.asarray(RNG.standard_normal((4, 64)))
+    ts = dn.surethreshold(x, False)
+    for i in range(4):
+        assert np.isclose(float(ts[i]), float(dn.surethreshold(x[i], False)))
+    sig = dn.noisest(x, False)
+    for i in range(4):
+        assert np.isclose(float(sig[i]), float(dn.noisest(x[i], False)))
+    rel = dn.relerrorthreshold(x, False)
+    for i in range(4):
+        assert np.isclose(float(rel[i]),
+                          float(dn.relerrorthreshold(x[i], False)))

@@ -24,6 +24,10 @@ from .transforms.acwt import (acdwt, acdwt2, iacdwt, iacdwt2, acwpt, acwpt2,
 from .datasets import (generatesignals, duplicatesignals, ClassData,
                        generateclassdata)
 from .metrics import relativenorm, psnr, snr, ssim
+from .denoising import (HardTH, SoftTH, SteinTH, threshold, VisuShrink,
+                      visushrink, SureShrink, sureshrink, RelErrorShrink,
+                      noisest, surethreshold, relerrorthreshold, denoise,
+                      denoiseall)
 from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     LoglpCost, NormCost, DifferentialEntropyCost, coefcost,
                     tree_costs, bestbasis_treeselection, bestbasistree,

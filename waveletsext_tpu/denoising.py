@@ -1,0 +1,307 @@
+"""Wavelet shrinkage denoising.
+
+Re-implements /root/reference/src/mod/Denoising.jl: threshold operators
+(Wavelets.jl HardTH/SoftTH), VisuShrink / SureShrink / RelErrorShrink
+threshold selection (:124-166, :44-103), MAD noise estimation ``noisest``
+(:214-232), the relative-error elbow search (:285-381), and the 7-input-type
+``denoise``/``denoiseall`` drivers (:483-712).
+
+Everything is batched (leading axes) and device-side: noise estimates, SURE
+risk minimization and the elbow search are fixed-shape sort/cumsum/argmin
+programs, so a whole batch denoises in one jitted call.  ``bestTH``
+aggregation (mean/median across the batch) is one tiny cross-batch reduction
+(a psum/all-reduce under a dp mesh).
+
+Layouts: ``:dwt``/``:wpt`` coefficients are flat ``(..., n)``;
+``:sdwt``/``:acdwt`` are ``(..., L+1, n)``; ``:swpd``/``:acwpd`` are
+all-node tables ``(..., 2^(L+1)-1, n)`` (see transforms/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ._jit import apijit
+from .trees import maketree, maxtransformlevels, getleaf
+from .utils import coarsestscalingrange, finestdetailrange, nodelength
+from .transforms import dwt as _dwt_mod
+from .transforms import swt as _swt_mod
+from .transforms import acwt as _acwt_mod
+
+
+# ---------------------------------------------------------------------------
+# Threshold operators (Wavelets.jl HardTH / SoftTH / SteinTH)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class HardTH:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SoftTH:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SteinTH:
+    pass
+
+
+def threshold(x, th, t):
+    """Apply threshold operator ``th`` with (broadcast) threshold ``t``."""
+    if isinstance(th, HardTH):
+        return jnp.where(jnp.abs(x) > t, x, 0.0)
+    if isinstance(th, SoftTH):
+        return jnp.sign(x) * jnp.maximum(jnp.abs(x) - t, 0.0)
+    if isinstance(th, SteinTH):
+        return x * jnp.maximum(1.0 - (t ** 2) / jnp.maximum(x ** 2, 1e-300),
+                               0.0)
+    raise TypeError(f"unknown threshold type {th!r}")
+
+
+# ---------------------------------------------------------------------------
+# Shrink configurations (DNFT analogs)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class VisuShrink:
+    """t = sqrt(2 log n) (Denoising.jl:124-126)."""
+    th: object = HardTH()
+    t: float = 1.0
+
+
+def visushrink(n: int, th=HardTH()) -> VisuShrink:
+    return VisuShrink(th, float(np.sqrt(2 * np.log(n))))
+
+
+@dataclasses.dataclass(frozen=True)
+class SureShrink:
+    th: object = HardTH()
+    t: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class RelErrorShrink:
+    """(Denoising.jl:44-50)."""
+    th: object = HardTH()
+    t: float = 1.0
+
+
+def sureshrink(xw, redundant: bool = False, tree=None, th=HardTH()):
+    """Data-driven SureShrink constructor (Denoising.jl:63-103).  For batched
+    input the ``t`` attribute is an array of per-signal values."""
+    t = surethreshold(xw, redundant, tree)
+    return SureShrink(th, t)
+
+
+# ---------------------------------------------------------------------------
+# Coefficient extraction helper for redundant tables
+# ---------------------------------------------------------------------------
+
+def _relevant_coefs(coef, redundant, tree):
+    """Flatten the coefficients a threshold selector should look at
+    (Denoising.jl:149-157, :287-295)."""
+    if not redundant:
+        return coef.reshape(*coef.shape[:-1], -1) if coef.ndim else coef
+    if tree is None:
+        return coef.reshape(*coef.shape[:-2], -1)
+    leaves = np.nonzero(getleaf(np.asarray(tree, bool), "binary"))[0]
+    return coef[..., leaves, :].reshape(*coef.shape[:-2], -1)
+
+
+# ---------------------------------------------------------------------------
+# Threshold selection
+# ---------------------------------------------------------------------------
+
+@apijit("redundant", "tree")
+def surethreshold(coef, redundant: bool = False, tree=None):
+    """SURE risk minimization over sorted squared coefficients
+    (Denoising.jl:146-166).  Batched over leading axes."""
+    y = _relevant_coefs(coef, redundant, tree)
+    n = y.shape[-1]
+    a = jnp.sort(jnp.abs(y) ** 2, axis=-1)
+    b = jnp.cumsum(a, axis=-1)
+    c = jnp.arange(n - 1, -1, -1, dtype=a.dtype)
+    s = b + c * a
+    risk = (n - 2 * jnp.arange(1, n + 1, dtype=a.dtype) + s) / n
+    i = jnp.argmin(risk, axis=-1)
+    return jnp.sqrt(jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0])
+
+
+@apijit("redundant", "tree")
+def noisest(x, redundant: bool = False, tree=None):
+    """MAD-based noise sigma from the finest detail coefficients
+    (Denoising.jl:214-232).  Batched over leading axes."""
+    n = x.shape[-1]
+    if not redundant and tree is None:
+        dr = x[..., n // 2:]
+    elif not redundant:
+        dr = x[..., finestdetailrange(n, np.asarray(tree, bool))]
+    elif tree is None:
+        dr = x[..., -1, :]
+    else:
+        _, node = finestdetailrange(n, np.asarray(tree, bool), True)
+        dr = x[..., node - 1, :]
+    med = jnp.median(dr, axis=-1, keepdims=True)
+    mad = jnp.median(jnp.abs(dr - med), axis=-1)
+    return mad / 0.6745
+
+
+def _findelbow(x, y, valid_n):
+    """Index of the elbow of the (x, y) curve restricted to the first
+    ``valid_n`` points (Denoising.jl:367-381), batched; masked positions get
+    -inf distance."""
+    npts = x.shape[-1]
+    idx = jnp.arange(npts)
+    x1 = x[..., :1]
+    y1 = y[..., :1]
+    xe = jnp.take_along_axis(x, (valid_n - 1)[..., None], axis=-1)
+    ye = jnp.take_along_axis(y, (valid_n - 1)[..., None], axis=-1)
+    vx = xe - x1
+    vy = ye - y1
+    vn = jnp.sqrt(vx ** 2 + vy ** 2)
+    vx = vx / vn
+    vy = vy / vn
+    dx = x - x1
+    dy = y - y1
+    H2 = dx ** 2 + dy ** 2
+    A = dx * vx + dy * vy
+    O = jnp.sqrt(jnp.abs(H2 - A ** 2))
+    O = jnp.where(idx < valid_n[..., None], O, -jnp.inf)
+    return jnp.argmax(O, axis=-1)
+
+
+@apijit("redundant", "tree", "elbows")
+def relerrorthreshold(coef, redundant: bool = False, tree=None,
+                      elbows: int = 2):
+    """Relative-error elbow threshold (Denoising.jl:285-328), batched."""
+    c = _relevant_coefs(coef, redundant, tree)
+    n = c.shape[-1]
+    xs = jnp.sort(jnp.abs(c), axis=-1)[..., ::-1]
+    o = jnp.sort(c ** 2, axis=-1)[..., ::-1]
+    tot = jnp.sum(o, axis=-1, keepdims=True)
+    r = jnp.sqrt(jnp.abs(tot - jnp.cumsum(o, axis=-1))) / jnp.sqrt(tot)
+    # append x->0, prepend r[0]; reverse; normalize
+    xs = jnp.concatenate([xs, jnp.zeros_like(xs[..., :1])], axis=-1)
+    r = jnp.concatenate([r[..., :1], r], axis=-1)
+    xs = xs[..., ::-1]
+    ys = r[..., ::-1]
+    xmax = jnp.max(xs, axis=-1, keepdims=True)
+    ymax = jnp.max(ys, axis=-1, keepdims=True)
+    xn = xs / xmax
+    yn = ys / ymax
+    valid = jnp.full(xn.shape[:-1], n + 1, dtype=jnp.int32)
+    ix = None
+    for _ in range(elbows):
+        ix = _findelbow(xn, yn, valid)
+        valid = (ix + 1).astype(jnp.int32)
+    chosen = jnp.take_along_axis(xn, ix[..., None], axis=-1)[..., 0]
+    return chosen * xmax[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# denoise / denoiseall
+# ---------------------------------------------------------------------------
+
+_INPUTTYPES = ("sig", "dwt", "wpt", "sdwt", "swpd", "acdwt", "acwpd")
+
+
+def _estimate_sigma(coefs, inputtype, tree, estnoise):
+    if not callable(estnoise):
+        return jnp.asarray(estnoise)
+    if inputtype in ("dwt",):
+        return estnoise(coefs, False, None)
+    if inputtype == "wpt":
+        return estnoise(coefs, False, tree)
+    if inputtype in ("sdwt", "acdwt"):
+        return estnoise(coefs, True, None)
+    return estnoise(coefs, True, tree)
+
+
+def denoise(x, inputtype: str, wt, L: int | None = None, tree=None,
+            dnt=None, estnoise=None, smooth: str = "regular",
+            bestTH: str | None = None):
+    """Denoise signals/coefficients of the given input type
+    (Denoising.jl:483-597), batched over leading axes.
+
+    ``estnoise`` may be a selector function (``noisest``, ``surethreshold``-
+    style, ``relerrorthreshold``) or a precomputed scalar/array of sigmas.
+    ``bestTH`` in {None, 'mean', 'median'} aggregates per-signal thresholds
+    across the batch (Denoising.jl:684-703).
+    """
+    assert smooth in ("regular", "undersmooth")
+    assert inputtype in _INPUTTYPES, inputtype
+    if inputtype == "sig":
+        n = x.shape[-1]
+        L = maxtransformlevels(n) if L is None else L
+        x = _dwt_mod.dwt(x, wt, L)
+        inputtype = "dwt"
+    n = x.shape[-1]
+    L = maxtransformlevels(n) if L is None else L
+    if tree is None and inputtype in ("wpt", "swpd", "acwpd"):
+        tree = maketree(n, L, "dwt")
+    if dnt is None:
+        dnt = visushrink(n)
+    if estnoise is None:
+        estnoise = noisest
+
+    sigma = _estimate_sigma(x, inputtype, tree, estnoise)
+    if bestTH is not None:
+        agg = jnp.mean if bestTH == "mean" else jnp.median
+        sigma = agg(jnp.asarray(sigma))
+    t = jnp.asarray(sigma) * dnt.t
+
+    if inputtype == "dwt":
+        tb = t[..., None] if jnp.ndim(t) else t
+        if smooth == "regular":
+            xs = threshold(x, dnt.th, tb)
+        else:
+            n0 = nodelength(n, L)
+            xs = jnp.concatenate(
+                [x[..., :n0], threshold(x[..., n0:], dnt.th, tb)], axis=-1)
+        return _dwt_mod.idwt(xs, wt, L) if wt is not None else xs
+
+    if inputtype == "wpt":
+        tb = t[..., None] if jnp.ndim(t) else t
+        if smooth == "regular":
+            xs = threshold(x, dnt.th, tb)
+        else:
+            crng = coarsestscalingrange(n, np.asarray(tree, bool))
+            mask = np.zeros(n, dtype=bool)
+            mask[crng] = True
+            xs = jnp.where(jnp.asarray(mask), x, threshold(x, dnt.th, tb))
+        return _dwt_mod.iwpt(xs, wt, tree) if wt is not None else xs
+
+    tb = t[..., None, None] if jnp.ndim(t) else t
+    if inputtype in ("sdwt", "acdwt"):
+        if smooth == "regular":
+            xs = threshold(x, dnt.th, tb)
+        else:
+            xs = threshold(x, dnt.th, tb).at[..., 0, :].set(x[..., 0, :])
+        if inputtype == "sdwt":
+            return _swt_mod.isdwt(xs, wt) if wt is not None else xs
+        return _acwt_mod.iacdwt(xs)
+
+    # swpd / acwpd
+    leaves = np.nonzero(getleaf(np.asarray(tree, bool), "binary"))[0]
+    if smooth == "undersmooth":
+        _, coarsest = coarsestscalingrange(n, np.asarray(tree, bool), True)
+        leaves = np.setdiff1d(leaves, [coarsest - 1])
+    mask = np.zeros(x.shape[-2], dtype=bool)
+    mask[leaves] = True
+    maskj = jnp.asarray(mask)[:, None]
+    xs = jnp.where(maskj, threshold(x, dnt.th, tb), x)
+    if inputtype == "swpd":
+        return _swt_mod.iswpd(xs, wt, tree) if wt is not None else xs
+    return _acwt_mod.iacwpd(xs, tree)
+
+
+def denoiseall(x, inputtype: str, wt, **kwargs):
+    """Batch denoising (Denoising.jl:651-712).  Identical to :func:`denoise`
+    (everything is batched here); kept for API parity."""
+    return denoise(x, inputtype, wt, **kwargs)
