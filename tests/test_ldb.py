@@ -1,0 +1,100 @@
+"""LDB tests (reference test/ldb.jl shape/smoke coverage)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import warnings
+
+import waveletsext_tpu as wx
+from waveletsext_tpu import ldb
+
+RNG = np.random.default_rng(29)
+
+
+@pytest.fixture(scope="module")
+def tri_data():
+    X, y = wx.generateclassdata(wx.ClassData("tri", 5, 5, 5),
+                                rng=np.random.default_rng(2))
+    return jnp.asarray(X), y
+
+
+DMS = [ldb.AsymmetricRelativeEntropy(), ldb.SymmetricRelativeEntropy(),
+       ldb.HellingerDistance(), ldb.LpDistance()]
+DPS = [ldb.BasisDiscriminantMeasure(), ldb.FishersClassSeparability(),
+       ldb.RobustFishersClassSeparability()]
+
+
+@pytest.mark.parametrize("dm", DMS)
+@pytest.mark.parametrize("en", [ldb.TimeFrequency(), ldb.ProbabilityDensity()])
+def test_ldb_1d_measures(tri_data, dm, en):
+    X, y = tri_data
+    f = ldb.LocalDiscriminantBasis(wt="haar", dm=dm, en=en, n_features=8)
+    Xc = f.fit_transform(X, y)
+    assert Xc.shape == (15, 8)
+    assert wx.isvalidtree(f.tree, "binary")
+    Xr = f.inverse_transform(Xc)
+    assert Xr.shape == X.shape
+
+
+@pytest.mark.parametrize("weight", ["equal", "pdf"])
+def test_ldb_signatures_emd(tri_data, weight):
+    X, y = tri_data
+    f = ldb.LocalDiscriminantBasis(
+        wt="haar", dm=ldb.EarthMoverDistance(), en=ldb.Signatures(weight),
+        n_features=8, max_dec_level=3)
+    Xc = f.fit_transform(X, y)
+    assert Xc.shape == (15, 8)
+    assert wx.isvalidtree(f.tree, "binary")
+
+
+@pytest.mark.parametrize("dp", DPS)
+def test_ldb_powers(tri_data, dp):
+    X, y = tri_data
+    f = ldb.LocalDiscriminantBasis(wt="haar", dp=dp, n_features=8)
+    Xc = f.fit_transform(X, y)
+    assert Xc.shape == (15, 8)
+    # transform on "test data" must match fit_transform features
+    Xc2 = f.transform(X)
+    assert np.allclose(Xc, Xc2)
+
+
+def test_ldb_2d():
+    X = jnp.asarray(RNG.standard_normal((12, 16, 16)))
+    y = np.repeat([1, 2, 3], 4)
+    f = ldb.LocalDiscriminantBasis(wt="haar", n_features=10)
+    Xc = f.fit_transform(X, y)
+    assert Xc.shape == (12, 10)
+    assert wx.isvalidtree(f.tree, "quad")
+    Xr = f.inverse_transform(Xc)
+    assert Xr.shape == X.shape
+    assert np.allclose(f.transform(X), Xc)
+
+
+def test_change_nfeatures(tri_data):
+    X, y = tri_data
+    f = ldb.LocalDiscriminantBasis(wt="haar")
+    Xc = f.fit_transform(X, y)
+    x2 = f.change_nfeatures(Xc, 8)
+    assert x2.shape == (15, 8)
+    assert f.n_features == 8
+    with pytest.warns(UserWarning):
+        x3 = f.change_nfeatures(x2, 10)
+    assert x3.shape == (15, 10)
+    with pytest.raises(ValueError):
+        f.change_nfeatures(Xc, 4)  # column mismatch after change
+
+
+def test_full_basis_roundtrip(tri_data):
+    """With n_features == n, inverse_transform(transform(X)) == X."""
+    X, y = tri_data
+    f = ldb.LocalDiscriminantBasis(wt="haar")
+    Xc = f.fit_transform(X, y)
+    assert np.allclose(f.inverse_transform(Xc), X, atol=1e-8)
+
+
+def test_top_k(tri_data):
+    X, y = tri_data
+    f = ldb.LocalDiscriminantBasis(wt="haar", top_k=5, n_features=8)
+    Xc = f.fit_transform(X, y)
+    assert Xc.shape == (15, 8)
+    assert wx.isvalidtree(f.tree, "binary")

@@ -33,4 +33,11 @@ from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     tree_costs, bestbasis_treeselection, bestbasistree,
                     bestbasistreeall)
 
+from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
+                  Signatures, AsymmetricRelativeEntropy,
+                  SymmetricRelativeEntropy, HellingerDistance, LpDistance,
+                  EarthMoverDistance, BasisDiscriminantMeasure,
+                  FishersClassSeparability, RobustFishersClassSeparability,
+                  energy_map, discriminant_measure, discriminant_power)
+
 __version__ = "0.1.0"

@@ -1,0 +1,503 @@
+"""Local Discriminant Basis (Saito-Coifman) supervised feature extraction.
+
+Re-design of /root/reference/src/mod/LDB.jl (estimator :89-458),
+ldb/ldb_energymap.jl (TimeFrequency :109-141, ProbabilityDensity :143-185,
+Signatures :187-238) and ldb/ldb_measures.jl (pairwise measures :287-360,
+discriminant powers :427-519).
+
+Batch-first layouts: signals ``(N, n[, m])``, decompositions ``(N, L+1,
+n[, m])``, features ``(N, n_features)``.  Flattening order for feature
+indices/order is C-order over ``(n[, m])``.
+
+Class-membership masks are host data (labels are host data); the per-class
+reductions, ASH pdf estimation, discriminant measures and powers are
+vectorized device programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import warnings
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .trees import maxtransformlevels, getdepth
+from .utils import getbasiscoef, getbasiscoef2, getrowrange, getcolrange
+from .basis import bestbasis_treeselection, _zorder_perm
+from .transforms import dwt as _dwt_mod
+
+
+# ---------------------------------------------------------------------------
+# Energy map types (ldb_energymap.jl)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TimeFrequency:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ProbabilityDensity:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class Signatures:
+    weight: str = "equal"  # 'equal' or 'pdf'
+
+
+@dataclasses.dataclass
+class Signature:
+    """Per-class signature: coefficients + weights (ldb_energymap.jl:187-238).
+    ``coef`` is (Nc, L+1, ...); ``weight`` a scalar or an array like coef."""
+    coef: object
+    weight: object
+
+
+# ---------------------------------------------------------------------------
+# Discriminant measures (ldb_measures.jl)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class AsymmetricRelativeEntropy:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class SymmetricRelativeEntropy:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class HellingerDistance:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class LpDistance:
+    p: float = 2.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EarthMoverDistance:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# Discriminant powers
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BasisDiscriminantMeasure:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class FishersClassSeparability:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class RobustFishersClassSeparability:
+    pass
+
+
+# ---------------------------------------------------------------------------
+# ASH empirical pdf (AverageShiftedHistograms analog; parameters per
+# ldb_energymap.jl:160-162 — M=100, nbins=ceil((30N)^(1/5)), mbins=ceil(M/n))
+# ---------------------------------------------------------------------------
+
+def _ash_bins(Nx: int, M: int = 100):
+    nbins = int(np.ceil((30 * Nx) ** 0.2))
+    mbins = int(np.ceil(M / nbins))
+    return nbins, mbins
+
+
+def _ash_density(z_grid, z_hist, g: int, mbins: int):
+    """Triangular-kernel ASH density on a grid derived from ``z_grid``,
+    histogramming ``z_hist``.  Returns (grid, density, lo, delta)."""
+    sigma = jnp.std(z_grid, ddof=1)
+    lo = jnp.min(z_grid) - 0.5 * sigma
+    delta = (jnp.max(z_grid) - jnp.min(z_grid) + sigma) / (g - 1)
+    idx = jnp.clip(jnp.floor((z_hist - lo) / delta), 0, g - 1).astype(jnp.int32)
+    counts = jnp.zeros(g, z_hist.dtype).at[idx].add(1.0)
+    smoothed = jnp.zeros(g, z_hist.dtype)
+    for off in range(-mbins + 1, mbins):
+        wgt = 1.0 - abs(off) / mbins
+        shifted = jnp.roll(counts, off)
+        if off > 0:
+            shifted = shifted.at[:off].set(0.0)
+        elif off < 0:
+            shifted = shifted.at[off:].set(0.0)
+        smoothed = smoothed + wgt * shifted
+    density = smoothed / (jnp.sum(smoothed) * delta)
+    return lo, delta, density
+
+
+# ---------------------------------------------------------------------------
+# Energy maps
+# ---------------------------------------------------------------------------
+
+def _class_masks(y):
+    y = np.asarray(y)
+    classes = list(dict.fromkeys(y.tolist()))  # unique, preserving order
+    return classes, [np.nonzero(y == c)[0] for c in classes]
+
+
+def energy_map(Xw, y, method):
+    """Per-class energy maps.
+
+    TimeFrequency -> (nc, L+1, ...): class-normalized sum of squares
+    (ldb_energymap.jl:109-141).
+    ProbabilityDensity -> (nc, L+1, ..., pdf_len): per-coordinate ASH pdfs on
+    a common grid (ldb_energymap.jl:143-185).
+    Signatures -> list[Signature] (ldb_energymap.jl:187-238).
+    """
+    Xw = jnp.asarray(Xw)
+    classes, idxs = _class_masks(y)
+    if isinstance(method, TimeFrequency):
+        maps = []
+        for idx in idxs:
+            xw = Xw[idx]
+            root = xw[:, 0]
+            norm_sum = jnp.sum(root ** 2)
+            maps.append(jnp.sum(xw ** 2, axis=0) / norm_sum)
+        return jnp.stack(maps)
+    if isinstance(method, ProbabilityDensity):
+        Nx = Xw.shape[0]
+        nbins, mbins = _ash_bins(Nx)
+        g = (nbins + 1) * mbins
+        coords_all = Xw.reshape(Nx, -1).T          # (ncoord, Nx)
+        maps = []
+        for idx in idxs:
+            coords_c = Xw[idx].reshape(len(idx), -1).T  # (ncoord, Nc)
+
+            def one(zc_all, zc_c):
+                _, _, dens = _ash_density(zc_all, zc_c, g, mbins)
+                return dens
+            dens = jax.vmap(one)(coords_all, coords_c)  # (ncoord, g)
+            maps.append(dens.reshape(*Xw.shape[1:], g))
+        return jnp.stack(maps)
+    if isinstance(method, Signatures):
+        assert method.weight in ("equal", "pdf")
+        out = []
+        for idx in idxs:
+            xw = Xw[idx]
+            Nc = len(idx)
+            if method.weight == "equal":
+                out.append(Signature(xw, 1.0 / Nc))
+            else:
+                nbins, mbins = _ash_bins(Xw.shape[0])
+                g = (nbins + 1) * mbins
+                coords = xw.reshape(Nc, -1).T  # (ncoord, Nc)
+
+                def one(z):
+                    lo, delta, dens = _ash_density(z, z, g, mbins)
+                    gi = jnp.clip(jnp.floor((z - lo) / delta), 0,
+                                  g - 1).astype(jnp.int32)
+                    return dens[gi]
+                w = jax.vmap(one)(coords).T.reshape(xw.shape)
+                out.append(Signature(xw, w))
+        return out
+    raise TypeError(f"unknown energy map {method!r}")
+
+
+# ---------------------------------------------------------------------------
+# Discriminant measures
+# ---------------------------------------------------------------------------
+
+def _pairwise_elementwise(p, q, dm):
+    if isinstance(dm, AsymmetricRelativeEntropy):
+        ok = (p > 0) & (q > 0)
+        safe_p = jnp.where(ok, p, 1.0)
+        safe_q = jnp.where(ok, q, 1.0)
+        return jnp.where(ok, safe_p * jnp.log(safe_p / safe_q), 0.0)
+    if isinstance(dm, SymmetricRelativeEntropy):
+        a = _pairwise_elementwise(p, q, AsymmetricRelativeEntropy())
+        b = _pairwise_elementwise(q, p, AsymmetricRelativeEntropy())
+        return a + b
+    if isinstance(dm, HellingerDistance):
+        return (jnp.sqrt(p) - jnp.sqrt(q)) ** 2
+    if isinstance(dm, LpDistance):
+        return (p - q) ** dm.p
+    raise TypeError(f"unknown measure {dm!r}")
+
+
+def _emd_pair(p, wp, q, wq):
+    """Earth mover's distance between two weighted 1-D signatures
+    (ldb_measures.jl:327-360)."""
+    po = jnp.argsort(p)
+    qo = jnp.argsort(q)
+    ps = p[po]
+    qs = q[qo]
+    wps = wp[po]
+    wqs = wq[qo]
+    r = jnp.sort(jnp.concatenate([ps, qs]))
+    cwp = jnp.cumsum(wps)
+    cwq = jnp.cumsum(wqs)
+
+    def cum_at(sorted_vals, cums, t):
+        i = jnp.searchsorted(sorted_vals, t, side="right")
+        return jnp.where(i > 0, cums[jnp.maximum(i - 1, 0)], 0.0)
+    swp = jax.vmap(lambda t: cum_at(ps, cwp, t))(r[:-1])
+    swq = jax.vmap(lambda t: cum_at(qs, cwq, t))(r[:-1])
+    emd = jnp.sum(jnp.abs(swp - swq) * (r[1:] - r[:-1]))
+    return emd / (jnp.sum(wps) + jnp.sum(wqs))
+
+
+def pairwise_discriminant_measure(g1, g2, dm):
+    if isinstance(dm, EarthMoverDistance) or isinstance(g1, Signature):
+        shape = g1.coef.shape[1:]
+        Nc1 = g1.coef.shape[0]
+        Nc2 = g2.coef.shape[0]
+        p = g1.coef.reshape(Nc1, -1).T
+        q = g2.coef.reshape(Nc2, -1).T
+        wp = (jnp.full_like(p, g1.weight) if np.isscalar(g1.weight)
+              else g1.weight.reshape(Nc1, -1).T)
+        wq = (jnp.full_like(q, g2.weight) if np.isscalar(g2.weight)
+              else g2.weight.reshape(Nc2, -1).T)
+        d = jax.vmap(_emd_pair)(p, wp, q, wq)
+        return d.reshape(shape)
+    # pdf maps have a trailing pdf axis to reduce; TF maps do not
+    d = _pairwise_elementwise(g1, g2, dm)
+    return d
+
+
+def discriminant_measure(gamma, dm):
+    """Sum of pairwise measures over class pairs -> (L+1, ...)
+    (ldb_measures.jl:139-201)."""
+    if isinstance(gamma, (list, tuple)):  # signatures
+        D = None
+        for g1, g2 in itertools.combinations(gamma, 2):
+            d = pairwise_discriminant_measure(g1, g2, dm)
+            D = d if D is None else D + d
+        return D
+    nc = gamma.shape[0]
+    # pdf maps carry a trailing pdf axis to reduce; layout sniffing follows
+    # the reference's classifier (ldb_measures.jl:146-153): pdf_len >= 100
+    is_pdf = gamma.ndim == 5 or (gamma.ndim == 4 and gamma.shape[-1] >= 100)
+    D = None
+    for i, j in itertools.combinations(range(nc), 2):
+        d = _pairwise_elementwise(gamma[i], gamma[j], dm)
+        if is_pdf:
+            d = jnp.sum(d, axis=-1)
+        D = d if D is None else D + d
+    return D
+
+
+# ---------------------------------------------------------------------------
+# Discriminant power
+# ---------------------------------------------------------------------------
+
+def discriminant_power(*args):
+    """``discriminant_power(D, tree, BasisDiscriminantMeasure())`` or
+    ``discriminant_power(coefs, y, dp)`` (ldb_measures.jl:427-519).
+    Returns (power, order) with order a descending argsort of the flattened
+    power."""
+    a, b, dp = args
+    if isinstance(dp, BasisDiscriminantMeasure):
+        D, tree = jnp.asarray(a), np.asarray(b, bool)
+        if D.ndim == 2:
+            power = getbasiscoef(D, tree)
+        else:
+            power = getbasiscoef2(D, tree)
+        order = np.argsort(-np.asarray(power).ravel(), kind="stable")
+        return power, order
+    coefs, y = jnp.asarray(a), b
+    classes, idxs = _class_masks(y)
+    pi = jnp.asarray([len(ix) for ix in idxs], coefs.dtype)
+    pi = pi / jnp.sum(pi)
+    if isinstance(dp, FishersClassSeparability):
+        cen = jnp.stack([jnp.mean(coefs[ix], axis=0) for ix in idxs])  # (nc, ...)
+        spr = jnp.stack([jnp.var(coefs[ix], axis=0, ddof=1) for ix in idxs])
+        overall = jnp.mean(cen, axis=0)
+    elif isinstance(dp, RobustFishersClassSeparability):
+        cen = jnp.stack([jnp.median(coefs[ix], axis=0) for ix in idxs])
+        med = [jnp.median(coefs[ix], axis=0) for ix in idxs]
+        spr = jnp.stack([
+            jnp.median(jnp.abs(coefs[ix] - m[None]), axis=0)
+            for ix, m in zip(idxs, med)])
+        overall = jnp.median(cen, axis=0)
+    else:
+        raise TypeError(f"unknown discriminant power {dp!r}")
+    pib = pi.reshape((-1,) + (1,) * (cen.ndim - 1))
+    power = (jnp.sum((cen - overall[None] * cen) ** 2 * pib, axis=0)
+             / jnp.sum(spr * pib, axis=0))
+    order = np.argsort(-np.asarray(power).ravel(), kind="stable")
+    return power, order
+
+
+# ---------------------------------------------------------------------------
+# Per-node LDB costs (sum of top-k DM entries; LDB.jl:219-240)
+# ---------------------------------------------------------------------------
+
+def _ldb_node_costs(D, top_k: int, is2d: bool):
+    D = jnp.asarray(D)
+    Lp1 = D.shape[0]
+    out = []
+    for d in range(Lp1):
+        lvl = D[d]
+        if is2d:
+            n, m = lvl.shape
+            g = 1 << d
+            blocks = lvl.reshape(g, n // g, g, m // g)
+            blocks = jnp.moveaxis(blocks, 2, 1).reshape(g * g, -1)
+            blocks = blocks[_zorder_perm(d)]
+        else:
+            n = lvl.shape[0]
+            blocks = lvl.reshape(1 << d, n >> d)
+        ntheta = blocks.shape[-1]
+        if top_k < ntheta:
+            topv = jax.lax.top_k(blocks, top_k)[0]
+            out.append(jnp.sum(topv, axis=-1))
+        else:
+            out.append(jnp.sum(blocks, axis=-1))
+    return jnp.concatenate(out)
+
+
+# ---------------------------------------------------------------------------
+# The estimator
+# ---------------------------------------------------------------------------
+
+class LocalDiscriminantBasis:
+    """Sklearn-style LDB estimator (LDB.jl:89-110 attribute-for-attribute)."""
+
+    def __init__(self, wt="haar", max_dec_level=None,
+                 dm=AsymmetricRelativeEntropy(), en=TimeFrequency(),
+                 dp=BasisDiscriminantMeasure(), top_k=None, n_features=None):
+        self.wt = wt
+        self.max_dec_level = max_dec_level
+        self.dm = dm
+        self.en = en
+        self.dp = dp
+        self.top_k = top_k
+        self.n_features = n_features
+        # fitted state
+        self.sz = None
+        self.Gamma = None
+        self.DM = None
+        self.cost = None
+        self.tree = None
+        self.DP = None
+        self.order = None
+
+    # -- helpers --
+    def _is2d(self):
+        return len(self.sz) == 2
+
+    def fit(self, X, y):
+        """(LDB.jl:139-156)  X: (N, n[, m])."""
+        X = jnp.asarray(X)
+        sz = X.shape[1:]
+        L = maxtransformlevels(min(sz))
+        if self.max_dec_level is None:
+            self.max_dec_level = L
+        assert 1 <= self.max_dec_level <= L
+        if len(sz) == 1:
+            Xw = _dwt_mod.wpd(X, self.wt, self.max_dec_level)
+        else:
+            Xw = _dwt_mod.wpd2(X, self.wt, self.max_dec_level)
+        self.fitdec(Xw, y)
+        return self
+
+    def fitdec(self, Xw, y):
+        """(LDB.jl:186-251)  Xw: (N, L+1, n[, m])."""
+        Xw = jnp.asarray(Xw)
+        self.sz = tuple(Xw.shape[2:])
+        L = Xw.shape[1]
+        nelem = int(np.prod(self.sz))
+        if self.top_k is None:
+            self.top_k = nelem
+        if self.n_features is None:
+            self.n_features = nelem
+        if self.max_dec_level is None:
+            self.max_dec_level = L - 1
+        assert self.max_dec_level + 1 == L
+        assert len(np.unique(np.asarray(y))) > 1
+
+        self.Gamma = energy_map(Xw, y, self.en)
+        self.DM = discriminant_measure(self.Gamma, self.dm)
+        self.cost = np.asarray(
+            _ldb_node_costs(self.DM, self.top_k, self._is2d()))
+        if self._is2d():
+            self.tree = bestbasis_treeselection(
+                self.cost.copy(), *self.sz, selection="max")
+        else:
+            self.tree = bestbasis_treeselection(
+                self.cost.copy(), self.sz[0], selection="max")
+        Xc = self._basiscoef(Xw)
+        if isinstance(self.dp, BasisDiscriminantMeasure):
+            self.DP, self.order = discriminant_power(self.DM, self.tree,
+                                                     self.dp)
+        else:
+            self.DP, self.order = discriminant_power(Xc, y, self.dp)
+        return self
+
+    def _basiscoef(self, Xw):
+        if self._is2d():
+            return getbasiscoef2(Xw, self.tree)
+        return getbasiscoef(Xw, self.tree)
+
+    def _check_fitted(self):
+        for attr in ("sz", "Gamma", "DM", "cost", "tree", "DP", "order"):
+            assert getattr(self, attr) is not None, "estimator not fitted"
+
+    def transform(self, X):
+        """(LDB.jl:281-310)  -> (N, n_features)."""
+        self._check_fitted()
+        X = jnp.asarray(X)
+        assert tuple(X.shape[1:]) == self.sz
+        if self._is2d():
+            Xw = _dwt_mod.wpt2(X, self.wt, self.tree)
+        else:
+            Xw = _dwt_mod.wpt(X, self.wt, self.tree)
+        flat = Xw.reshape(X.shape[0], -1)
+        return flat[:, self.order[: self.n_features]]
+
+    def fit_transform(self, X, y):
+        """(LDB.jl:343-365)."""
+        X = jnp.asarray(X)
+        sz = X.shape[1:]
+        if self.max_dec_level is None:
+            self.max_dec_level = maxtransformlevels(min(sz))
+        if len(sz) == 1:
+            Xw = _dwt_mod.wpd(X, self.wt, self.max_dec_level)
+        else:
+            Xw = _dwt_mod.wpd2(X, self.wt, self.max_dec_level)
+        self.fitdec(Xw, y)
+        flat = self._basiscoef(Xw).reshape(X.shape[0], -1)
+        return flat[:, self.order[: self.n_features]]
+
+    def inverse_transform(self, Xc):
+        """(LDB.jl:394-411)  Xc: (N, n_features) -> (N, n[, m])."""
+        self._check_fitted()
+        Xc = jnp.asarray(Xc)
+        assert Xc.shape[1] == self.n_features
+        N = Xc.shape[0]
+        nelem = int(np.prod(self.sz))
+        flat = jnp.zeros((N, nelem), Xc.dtype)
+        flat = flat.at[:, self.order[: self.n_features]].set(Xc)
+        coefs = flat.reshape((N,) + self.sz)
+        if self._is2d():
+            return _dwt_mod.iwpt2(coefs, self.wt, self.tree)
+        return _dwt_mod.iwpt(coefs, self.wt, self.tree)
+
+    def change_nfeatures(self, x, n_features: int):
+        """(LDB.jl:438-458)  x: (N, n_features_old)."""
+        self._check_fitted()
+        if x.shape[1] != self.n_features:
+            raise ValueError(
+                "f.n_features and number of columns of x do not match!")
+        assert 1 <= n_features <= int(np.prod(self.sz))
+        if self.n_features >= n_features:
+            self.n_features = n_features
+            return x[:, :n_features]
+        warnings.warn("Proposed n_features larger than currently saved "
+                      "n_features. Results will be less accurate since "
+                      "inverse_transform and transform is involved.")
+        X = self.inverse_transform(x)
+        self.n_features = n_features
+        return self.transform(X)
