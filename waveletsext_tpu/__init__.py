@@ -33,6 +33,11 @@ from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     tree_costs, bestbasis_treeselection, bestbasistree,
                     bestbasistreeall)
 
+from .wavemult import (ns_dwt, ns_idwt, sft, isft, stretchmatrix, ndyad,
+                       dyadlength, mat2sparseform_nonstd, mat2sparseform_std,
+                       nonstd_wavemult, std_wavemult)
+from .transforms.siwt import (SiwtNode, SiwtObject, siwpd, isiwpd,
+                              bestbasistree as siwt_bestbasistree)
 from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
                   Signatures, AsymmetricRelativeEntropy,
                   SymmetricRelativeEntropy, HellingerDistance, LpDistance,

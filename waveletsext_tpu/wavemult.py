@@ -1,0 +1,186 @@
+"""BCR (Beylkin-Coifman-Rokhlin) fast matrix-vector multiplication.
+
+Re-implements /root/reference/src/mod/wavemult/*: the nonstandard form
+(``ns_dwt``/``ns_idwt`` telescoped 2n layout via ``ndyad`` index dyads,
+transforms.jl:52-142 + utils.jl:120-155; ``stretchmatrix`` re-indexing
+utils.jl:98-114) and the standard form (``sft``/``isft`` separable row+column
+1-D DWTs, transforms.jl:171-228), with sparsification drivers
+(mat2sparse.jl:38-100) and the ``nonstd_wavemult``/``std_wavemult`` products
+(wavemult.jl:58-76,134-152).
+
+Sparse matrices are ``jax.experimental.sparse`` BCOO (TPU-lowered
+gather/scatter SpMV); a matrix is built once and reused across many
+right-hand sides — the products are jitted and batched over the trailing
+batch axes of ``x``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax.experimental import sparse as jsparse
+
+from .trees import maxtransformlevels
+from .transforms.dwt import dwt, idwt, dwt2
+from .kernels import conv
+from .filters import wavelet as _wavelet
+
+
+def _wt(wt):
+    return _wavelet(wt) if isinstance(wt, str) else wt
+
+
+def dyadlength(n: int) -> int:
+    """Least power-of-two exponent >= log2(n) (utils.jl:44-51)."""
+    J = int(np.ceil(np.log2(n)))
+    if (1 << J) != n:
+        import warnings
+        warnings.warn("Dyadlength n != 2^J")
+    return J
+
+
+def ndyad(L: int, Lmax: int, female: bool) -> slice:
+    """0-based slice of the level-L dyad in the nonstandard 2n layout
+    (utils.jl:146-155)."""
+    assert 1 <= L <= Lmax
+    k = Lmax - L
+    if female:
+        return slice((1 << (k + 1)) + (1 << k), 1 << (k + 2))
+    return slice(1 << (k + 1), (1 << (k + 1)) + (1 << k))
+
+
+def stretchmatrix(i, j, n: int, L: int):
+    """Re-index nonzeros into the telescoped 2n x 2n nonstandard layout
+    (utils.jl:98-114).  ``i``/``j`` are 0-based index arrays."""
+    Lmax = maxtransformlevels(n)
+    assert 1 <= L <= Lmax
+    ie = np.asarray(i).copy() + 1  # work 1-based like the reference
+    je = np.asarray(j).copy() + 1
+    for l in range(L):
+        k = Lmax - l - 1
+        cond = (((ie > (1 << k)) | (je > (1 << k)))
+                & ((ie <= (1 << (k + 1))) & (je <= (1 << (k + 1)))))
+        ie[cond] += 1 << (k + 1)
+        je[cond] += 1 << (k + 1)
+    return ie - 1, je - 1
+
+
+# ---------------------------------------------------------------------------
+# Nonstandard vector transform
+# ---------------------------------------------------------------------------
+
+def ns_dwt(x, wt, L: int | None = None):
+    """Nonstandard forward transform: (..., n) -> (..., 2n)
+    (transforms.jl:52-70)."""
+    w = _wt(wt)
+    n = x.shape[-1]
+    Lmax = maxtransformlevels(n)
+    L = Lmax if L is None else L
+    assert 1 <= L <= Lmax
+    nxw = jnp.zeros(x.shape[:-1] + (2 * n,), x.dtype)
+    v = x
+    for l in range(1, L + 1):
+        w1, w2 = conv.analysis_step(v, w.lo, w.hi)
+        nxw = nxw.at[..., ndyad(l, Lmax, False)].set(w1)
+        nxw = nxw.at[..., ndyad(l, Lmax, True)].set(w2)
+        v = w1
+    nxw = nxw.at[..., : 1 << (Lmax - L)].set(v)
+    return nxw
+
+
+def ns_idwt(nxw, wt, L: int | None = None):
+    """Nonstandard inverse transform: (..., 2n) -> (..., n)
+    (transforms.jl:124-142).  Note: lossy by design (not the inverse of
+    ns_dwt on arbitrary input)."""
+    w = _wt(wt)
+    n = nxw.shape[-1] // 2
+    Lmax = maxtransformlevels(2 * n) - 1
+    L = Lmax if L is None else L
+    assert 1 <= L <= Lmax
+    head = nxw[..., : 1 << (Lmax - L)]
+    for l in range(L, 0, -1):
+        w1 = nxw[..., ndyad(l, Lmax, False)] + head
+        w2 = nxw[..., ndyad(l, Lmax, True)]
+        head = conv.synthesis_step(w1, w2, w.lo, w.hi)
+    return head
+
+
+# ---------------------------------------------------------------------------
+# Standard form transforms
+# ---------------------------------------------------------------------------
+
+def sft(M, wt, L: int | None = None):
+    """Standard form: 1-D dwt of every column, then of every row
+    (transforms.jl:171-185).  M: (..., n, m)."""
+    L = maxtransformlevels(min(M.shape[-2:])) if L is None else L
+    Mw = jnp.swapaxes(dwt(jnp.swapaxes(M, -1, -2), wt, L), -1, -2)
+    return dwt(Mw, wt, L)
+
+
+def isft(Mw, wt, L: int | None = None):
+    """(transforms.jl:214-228)."""
+    L = maxtransformlevels(min(Mw.shape[-2:])) if L is None else L
+    M = idwt(Mw, wt, L)
+    return jnp.swapaxes(idwt(jnp.swapaxes(M, -1, -2), wt, L), -1, -2)
+
+
+# ---------------------------------------------------------------------------
+# Sparse forms
+# ---------------------------------------------------------------------------
+
+def mat2sparseform_nonstd(M, wt, L: int | None = None, eps: float = 1e-4):
+    """2-D dwt -> threshold at eps*max column norm -> stretch into the
+    2n x 2n nonstandard layout -> BCOO (mat2sparse.jl:38-55)."""
+    M = jnp.asarray(M)
+    n = M.shape[0]
+    assert M.shape == (n, n)
+    L = maxtransformlevels(n) if L is None else L
+    Mw = np.asarray(dwt2(M, wt, L))
+    maxcolnorm = np.linalg.norm(Mw, axis=0).max()
+    keep = np.abs(Mw) > eps * maxcolnorm
+    i, j = np.nonzero(keep)
+    # column-major (Julia findall) ordering for exact parity of duplicates
+    order = np.lexsort((i, j))
+    i, j = i[order], j[order]
+    vals = Mw[i, j]
+    ie, je = stretchmatrix(i, j, n, L)
+    idx = np.stack([ie, je], axis=1)
+    return jsparse.BCOO((jnp.asarray(vals), jnp.asarray(idx)),
+                        shape=(2 * n, 2 * n))
+
+
+def mat2sparseform_std(M, wt, L: int | None = None, eps: float = 1e-4):
+    """(mat2sparse.jl:89-100)."""
+    M = jnp.asarray(M)
+    n = M.shape[0]
+    assert M.shape == (n, n)
+    Mw = np.asarray(sft(M, wt, L))
+    maxcolnorm = np.linalg.norm(Mw, axis=0).max()
+    nil = np.where(np.abs(Mw) > eps * maxcolnorm, Mw, 0.0)
+    return jsparse.BCOO.fromdense(jnp.asarray(nil))
+
+
+# ---------------------------------------------------------------------------
+# Fast products
+# ---------------------------------------------------------------------------
+
+def nonstd_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4):
+    """y ~= M @ x via the sparse nonstandard form (wavemult.jl:58-76).
+    ``M`` may be a dense matrix or a prebuilt BCOO from
+    :func:`mat2sparseform_nonstd`."""
+    L = maxtransformlevels(x.shape[-1]) if L is None else L
+    if not isinstance(M, jsparse.BCOO):
+        M = mat2sparseform_nonstd(M, wt, L, eps)
+    nx = ns_dwt(x, wt, L)
+    ny = M @ nx
+    return ns_idwt(ny, wt, L)
+
+
+def std_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4):
+    """y ~= M @ x via the sparse standard form (wavemult.jl:134-152)."""
+    L = maxtransformlevels(x.shape[-1]) if L is None else L
+    if not isinstance(M, jsparse.BCOO):
+        M = mat2sparseform_std(M, wt, L, eps)
+    nx = dwt(x, wt, L)
+    ny = M @ nx
+    return idwt(ny, wt, L)
