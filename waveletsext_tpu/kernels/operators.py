@@ -1,0 +1,87 @@
+"""Dense per-node level operators for small packet nodes.
+
+A one-level decimated analysis/synthesis step on a length-m node is a fixed
+orthogonal (m, m) linear map.  For small m the fastest TPU execution by far is
+a dense matmul on the MXU — measured ~900 GB/s effective (HBM roofline) versus
+pathological small-window conv lowerings.  The operators are built once on the
+host with a numpy mirror of the periodic-filter conventions (see
+kernels/conv.py and /root/reference/src/mod/dwt/dwt_one_level.jl) and folded
+into jitted programs as constants.
+
+``MATMUL_CUTOFF`` sets the node length at or below which the matmul path is
+used; above it, the conv_general_dilated path wins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+MATMUL_CUTOFF = 256
+
+
+def _np_periodic_filter(x: np.ndarray, taps, stride=1, dilation=1, offset=0):
+    """Rows of ``x`` filtered exactly like conv.periodic_filter."""
+    n = x.shape[-1]
+    nout = n // stride
+    idx = (stride * np.arange(nout)[:, None]
+           + dilation * np.arange(len(taps))[None, :] + offset) % n
+    return np.einsum("rnt,t->rn", x[:, idx], np.asarray(taps))
+
+
+def _np_analysis_step(v, lo, hi):
+    F = len(lo)
+    w1 = _np_pf(v, lo, 2, 1, 0)
+    w2 = _np_pf(v, hi, 2, 1, 2 - F)
+    return w1, w2
+
+
+# patch: support negative dilation like conv.periodic_filter
+def _np_pf(x, taps, stride=1, dilation=1, offset=0):
+    taps = np.asarray(taps)
+    if dilation < 0:
+        taps = taps[::-1]
+        offset = offset + dilation * (len(taps) - 1)
+        dilation = -dilation
+    return _np_periodic_filter(x, taps, stride, dilation, offset)
+
+
+def _np_synth(w1, w2, lo, hi):
+    F = len(lo)
+    outs = []
+    for e in (0, 1):
+        ve = _np_pf(w1, lo[e::2], 1, -1, 0)
+        ve = ve + _np_pf(w2, hi[e::2], 1, -1, F // 2 - 1)
+        outs.append(ve)
+    m = w1.shape[-1]
+    return np.stack(outs, axis=-1).reshape(-1, 2 * m)
+
+
+@functools.lru_cache(maxsize=None)
+def analysis_operator(taps_key, m: int) -> np.ndarray:
+    """(m, m) map: node row -> [w1 | w2] packed children row."""
+    lo, hi = _unpack(taps_key)
+    eye = np.eye(m)
+    w1, w2 = _np_analysis_step(eye, lo, hi)
+    return np.concatenate([w1, w2], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def synthesis_operator(taps_key, m: int) -> np.ndarray:
+    """(m, m) map: [w1 | w2] packed row -> parent node row."""
+    lo, hi = _unpack(taps_key)
+    eye = np.eye(m)
+    h = m // 2
+    return _np_synth(eye[:, :h], eye[:, h:], lo, hi)
+
+
+def _unpack(taps_key):
+    lo = np.frombuffer(taps_key[0], dtype=np.float64)
+    hi = np.frombuffer(taps_key[1], dtype=np.float64)
+    return lo, hi
+
+
+def taps_key(lo, hi):
+    return (np.asarray(lo, np.float64).tobytes(),
+            np.asarray(hi, np.float64).tobytes())
