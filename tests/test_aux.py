@@ -1,0 +1,61 @@
+"""Aux subsystem tests: serialization, viz data computation, compat aliases."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import waveletsext_tpu as wx
+from waveletsext_tpu import ldb, serialization, viz
+
+RNG = np.random.default_rng(43)
+
+
+def test_ldb_save_load_roundtrip(tmp_path):
+    X, y = wx.generateclassdata(wx.ClassData("tri", 4, 4, 4),
+                                rng=np.random.default_rng(3))
+    X = jnp.asarray(X)
+    f = ldb.LocalDiscriminantBasis(wt="haar", n_features=6)
+    Xc = f.fit_transform(X, y)
+    serialization.save_ldb(f, tmp_path / "model")
+    g = serialization.load_ldb(tmp_path / "model")
+    assert np.allclose(g.transform(X), Xc)
+    assert np.array_equal(g.tree, f.tree)
+    assert g.n_features == 6
+
+
+def test_threshold_save_load(tmp_path):
+    sig = np.array([0.3, 0.5, 0.2])
+    serialization.save_thresholds(tmp_path / "th", sigma=sig)
+    out = serialization.load_thresholds(tmp_path / "th")
+    assert np.allclose(out["sigma"], sig)
+
+
+def test_treenodes_matrix():
+    tree = wx.maketree(4, 2, "dwt")  # [1,1,0]
+    # getleaf -> [0,0,1,1,1,0,0]: leaves are node 3 (depth1 pos1), 4,5 (depth2)
+    m = viz.treenodes_matrix(tree)
+    assert m.shape == (3, 4)
+    assert m[1, 1] and m[2, 0] and m[2, 1]
+    assert not m[0, 0]
+
+
+def test_tfbdry_partition_covers():
+    tree = wx.maketree(8, 3, "dwt")
+    rects = viz.tfbdry(tree)
+    total = sum((f1 - f0) for (_, _, f0, f1, _) in rects)
+    assert np.isclose(total, 1.0)
+
+
+def test_tfbdry2_partition_covers():
+    tree = wx.maketree2d(8, 8, 2, "full")
+    rects = viz.tfbdry2(tree, 8, 8)
+    area = sum((r1 - r0) * (c1 - c0) for (r0, r1, c0, c1) in rects)
+    assert area == 64
+
+
+def test_wiggle_data():
+    wav = RNG.standard_normal((32, 3))
+    traces = viz.wiggle_data(wav)
+    assert len(traces) == 3
+    # zero crossings inserted -> more points than samples, zeros present
+    assert len(traces[0]["t"]) >= 32
+    assert np.max(np.abs(np.concatenate([t["amp"] for t in traces]))) <= 1.0

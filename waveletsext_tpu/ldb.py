@@ -442,7 +442,9 @@ class LocalDiscriminantBasis:
         return getbasiscoef(Xw, self.tree)
 
     def _check_fitted(self):
-        for attr in ("sz", "Gamma", "DM", "cost", "tree", "DP", "order"):
+        # the minimal state transform/inverse_transform need (a deserialized
+        # estimator may omit the energy maps, see serialization.py)
+        for attr in ("sz", "tree", "order"):
             assert getattr(self, attr) is not None, "estimator not fitted"
 
     def transform(self, X):

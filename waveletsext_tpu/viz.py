@@ -1,0 +1,167 @@
+"""Visualization utilities.
+
+Re-implements /root/reference/src/mod/Visualizations.jl with a split design:
+pure-numpy *data* computation (always available, testable headless) and
+optional matplotlib *rendering* (this image has no plotting backend baked in,
+so rendering is lazily imported and cleanly gated).
+
+* ``treenodes_matrix`` — BitVector -> (level, position) bool matrix
+  (Visualizations.jl:61-78).
+* ``tfbdry`` / ``plot_tfbdry`` — time-frequency tiling of a binary basis tree
+  (Visualizations.jl:149-187).
+* ``tfbdry2`` / ``plot_tfbdry2`` — quadtree partition rectangles
+  (Visualizations.jl:254-293).
+* ``wiggle_data`` / ``wiggle`` — seismic-style multi-trace plot with
+  zero-crossing interpolation and positive-lobe fill
+  (Visualizations.jl:392-475).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .trees import getdepth, getleaf, maketree, tree_depth
+from .utils import getrowrange, getcolrange
+
+
+def _require_matplotlib():
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        return plt
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "matplotlib is not available in this environment; use the "
+            "data-computation functions (tfbdry/tfbdry2/wiggle_data) "
+            "instead.") from e
+
+
+def treenodes_matrix(tree: np.ndarray) -> np.ndarray:
+    """(L0+1, 2^L0) bool matrix: entry [d, b] marks node b at depth d
+    (Visualizations.jl:61-78 semantics over the leaf mask)."""
+    tree = np.asarray(tree, dtype=bool)
+    leaf = getleaf(tree, "binary")
+    L0 = getdepth(len(leaf), "binary")
+    out = np.zeros((L0 + 1, 1 << L0), dtype=bool)
+    for i0, isleaf in enumerate(leaf):
+        if isleaf:
+            d = getdepth(i0 + 1, "binary")
+            out[d, (i0 + 1) - (1 << d)] = True
+    return out
+
+
+def tfbdry(tree: np.ndarray, n: int | None = None):
+    """Time-frequency tiling rectangles of a basis tree: list of
+    (t0, t1, f0, f1) in [0,1]^2, one per leaf."""
+    tree = np.asarray(tree, dtype=bool)
+    leaf = getleaf(tree, "binary")
+    rects = []
+    for i0, isleaf in enumerate(leaf):
+        if isleaf:
+            i = i0 + 1
+            d = getdepth(i, "binary")
+            b = i - (1 << d)
+            # leaf at depth d, block b: frequency band [b, b+1]/2^d,
+            # full time extent split into 2^? cells — the reference's
+            # heatmap marks the (level, block) tiling
+            rects.append((0.0, 1.0, b / (1 << d), (b + 1) / (1 << d), d))
+    return rects
+
+
+def tfbdry2(tree: np.ndarray, n: int, m: int):
+    """Quadtree partition rectangles: list of (r0, r1, c0, c1) index ranges
+    (Visualizations.jl:254-293 via getrowrange/getcolrange)."""
+    tree = np.asarray(tree, dtype=bool)
+    leaf = getleaf(tree, "quad")
+    rects = []
+    for i0, isleaf in enumerate(leaf):
+        if isleaf:
+            i = i0 + 1
+            r = getrowrange(n, i)
+            c = getcolrange(m, i)
+            rects.append((r.start, r.stop, c.start, c.stop))
+    return rects
+
+
+def wiggle_data(wav: np.ndarray, sc: float = 1.0, zc: bool = True):
+    """Per-trace plot data for a seismic wiggle display.
+
+    ``wav``: (n, k) matrix, one trace per column (reference convention).
+    Returns a list of dicts with interpolated (t, amp) including zero
+    crossings and the fill mask for positive lobes
+    (Visualizations.jl:392-475)."""
+    wav = np.asarray(wav, dtype=float)
+    if wav.ndim == 1:
+        wav = wav[:, None]
+    n, k = wav.shape
+    t = np.arange(1, n + 1, dtype=float)
+    maxamp = np.max(np.abs(wav)) if np.max(np.abs(wav)) > 0 else 1.0
+    traces = []
+    for j in range(k):
+        amp = sc * wav[:, j] / maxamp
+        if zc:
+            tt = [t[0]]
+            aa = [amp[0]]
+            for i in range(n - 1):
+                a0, a1 = amp[i], amp[i + 1]
+                if a0 * a1 < 0:  # sign change: interpolate the crossing
+                    tz = t[i] + abs(a0) / (abs(a0) + abs(a1))
+                    tt.append(tz)
+                    aa.append(0.0)
+                tt.append(t[i + 1])
+                aa.append(a1)
+            tt = np.asarray(tt)
+            aa = np.asarray(aa)
+        else:
+            tt, aa = t, amp
+        traces.append({
+            "offset": float(j + 1),
+            "t": tt,
+            "amp": aa,
+            "fill_mask": aa > 0,
+        })
+    return traces
+
+
+# ---------------------------------------------------------------------------
+# Rendering (optional)
+# ---------------------------------------------------------------------------
+
+def plot_tfbdry(tree, ax=None, **kwargs):
+    plt = _require_matplotlib()
+    if ax is None:
+        _, ax = plt.subplots()
+    for (t0, t1, f0, f1, _d) in tfbdry(tree):
+        ax.add_patch(plt.Rectangle((t0, f0), t1 - t0, f1 - f0,
+                                   fill=False, **kwargs))
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    ax.set_xlabel("time")
+    ax.set_ylabel("frequency")
+    return ax
+
+
+def plot_tfbdry2(tree, n: int, m: int, ax=None, **kwargs):
+    plt = _require_matplotlib()
+    if ax is None:
+        _, ax = plt.subplots()
+    for (r0, r1, c0, c1) in tfbdry2(tree, n, m):
+        ax.add_patch(plt.Rectangle((c0, r0), c1 - c0, r1 - r0,
+                                   fill=False, **kwargs))
+    ax.set_xlim(0, m)
+    ax.set_ylim(n, 0)
+    return ax
+
+
+def wiggle(wav, sc: float = 1.0, zc: bool = True, ax=None, **kwargs):
+    plt = _require_matplotlib()
+    if ax is None:
+        _, ax = plt.subplots()
+    for tr in wiggle_data(wav, sc, zc):
+        x = tr["offset"] + tr["amp"]
+        ax.plot(x, tr["t"], color="k", lw=0.7, **kwargs)
+        ax.fill_betweenx(tr["t"], tr["offset"], x,
+                         where=tr["fill_mask"], color="k")
+    ax.invert_yaxis()
+    return ax
