@@ -73,6 +73,41 @@ def periodic_filter(x, taps, stride: int = 1, dilation: int = 1, offset: int = 0
     return out[..., 0, :nout].reshape(*lead, nout)
 
 
+def _window_correlate(x, taps, offset: int):
+    """Full-length circular correlation on the last axis:
+    w[..., j] = sum_t taps[t] * x[..., (j + t + offset) % n].
+
+    Contiguous-window formulation (circular pad + static slices + fma) — the
+    fastest XLA lowering measured on TPU for stride-1 dense filters; strided
+    selections are done by the caller via trailing reshape, never by strided
+    slices."""
+    F = len(taps)
+    n = x.shape[-1]
+    lpad = max(0, -offset)
+    rpad = max(0, offset + F - 1)
+    assert lpad <= n and rpad <= n
+    parts = []
+    if lpad:
+        parts.append(x[..., n - lpad:])
+    parts.append(x)
+    if rpad:
+        parts.append(x[..., :rpad])
+    xall = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
+    acc = None
+    for t in range(F):
+        start = lpad + offset + t
+        sl = jax.lax.slice_in_dim(xall, start, start + n, axis=-1)
+        term = float(taps[t]) * sl
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _even(x):
+    """Select even positions of the last axis via a trailing reshape (avoids
+    pathological strided-slice lowerings)."""
+    return x.reshape(*x.shape[:-1], x.shape[-1] // 2, 2)[..., 0]
+
+
 # ---------------------------------------------------------------------------
 # Decimated (DWT/WPT) steps — dwt_one_level.jl conventions
 # ---------------------------------------------------------------------------
@@ -94,8 +129,8 @@ def analysis_step(v, lo: np.ndarray, hi: np.ndarray):
                         v.dtype)
         out = v @ A
         return out[..., : m // 2], out[..., m // 2:]
-    w1 = periodic_filter(v, lo, stride=2, dilation=1, offset=0)
-    w2 = periodic_filter(v, hi, stride=2, dilation=1, offset=2 - L)
+    w1 = _even(_window_correlate(v, lo, 0))
+    w2 = _even(_window_correlate(v, hi, 2 - L))
     return w1, w2
 
 
@@ -118,10 +153,12 @@ def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
         return jnp.concatenate([w1, w2], axis=-1) @ S
     outs = []
     for e in (0, 1):
-        lo_e = lo[e::2]
-        hi_e = hi[e::2]
-        ve = periodic_filter(w1, lo_e, stride=1, dilation=-1, offset=0)
-        ve = ve + periodic_filter(w2, hi_e, stride=1, dilation=-1, offset=L // 2 - 1)
+        lo_e = np.asarray(lo[e::2])
+        hi_e = np.asarray(hi[e::2])
+        # flip identity turns the negative-step reads into plain windows
+        ve = _window_correlate(w1, lo_e[::-1], -(len(lo_e) - 1))
+        ve = ve + _window_correlate(w2, hi_e[::-1],
+                                    L // 2 - 1 - (len(hi_e) - 1))
         outs.append(ve)
     v = jnp.stack(outs, axis=-1).reshape(*w1.shape[:-1], 2 * half)
     return v

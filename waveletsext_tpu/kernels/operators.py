@@ -18,7 +18,7 @@ import functools
 
 import numpy as np
 
-MATMUL_CUTOFF = 256
+MATMUL_CUTOFF = 512
 
 
 def _np_periodic_filter(x: np.ndarray, taps, stride=1, dilation=1, offset=0):
