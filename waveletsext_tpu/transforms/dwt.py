@@ -30,6 +30,7 @@ from ..filters import Wavelet, wavelet as _wavelet
 from ..trees import (maketree, maketree2d, maxtransformlevels, getdepth,
                      tree_depth, getleaf, gettreelength)
 from ..kernels import conv
+from ..kernels import operators as _kops
 
 
 def _wt(wt) -> Wavelet:
@@ -221,8 +222,17 @@ def wpt(x, wt, tree_or_L=None):
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(n, None if tree_or_L is None else int(tree_or_L))
         cur = x
-        for d in range(L):
+        d = 0
+        while d < L and (n >> d) > _kops.MATMUL_CUTOFF:
             cur = _wpt_level_fwd(cur, d, w.lo, w.hi)
+            d += 1
+        if d < L:
+            # collapse all remaining levels into one per-node MXU matmul
+            m = n >> d
+            A = jnp.asarray(_kops.composed_analysis_operator(
+                _kops.taps_key(w.lo, w.hi), m, L - d), cur.dtype)
+            nodes = cur.reshape(*cur.shape[:-1], 1 << d, m)
+            cur = (nodes @ A).reshape(*cur.shape[:-1], n)
         return cur
     tree = np.asarray(tree_or_L, dtype=bool)
     depth = tree_depth(tree, "binary")
