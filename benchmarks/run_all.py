@@ -82,12 +82,12 @@ def main():
     n, L = 4096, 8
     x = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
     rt = lambda a: wx.idwt(wx.dwt(a, "db4", L), "db4", L)
-    record("c1_dwt_roundtrip", slope_time(rt, x, 4, 64 if QUICK else 128),
+    record("c1_dwt_roundtrip", slope_time(rt, x, 4, 32),
            B * n, {"B": B, "n": n})
 
     # north star: forward WPT only
     fw = lambda a: wx.wpt(a, "db4", L)
-    record("wpt_forward", slope_time(fw, x, 4, 64 if QUICK else 256),
+    record("wpt_forward", slope_time(fw, x, 8, 128),
            B * n, {"B": B, "n": n})
 
     # -- config 2: WPT + CW best basis on 1024 signals -----------------------
@@ -148,7 +148,7 @@ def main():
     n4, L4 = 512, 4
     x4 = jnp.asarray(rng.standard_normal((B4, n4, n4)).astype(np.float32))
     fw2 = lambda a: wx.wpt2(a, "db4", L4)
-    record("c4_wpt2d_512", slope_time(fw2, x4, 2, 16 if QUICK else 32),
+    record("c4_wpt2d_512", slope_time(fw2, x4, 2, 16),
            B4 * n4 * n4, {"B": B4, "n": n4, "L": L4})
 
     def c4_jbb():

@@ -102,6 +102,16 @@ def _window_correlate(x, taps, offset: int):
     return acc
 
 
+def _circ_correlate(x, taps, offset: int):
+    """Window correlate with a periodic_filter fallback when the circular
+    pad would exceed the signal length (tiny signals / long filters)."""
+    F = len(taps)
+    n = x.shape[-1]
+    if max(0, -offset) <= n and max(0, offset + F - 1) <= n:
+        return _window_correlate(x, taps, offset)
+    return periodic_filter(x, taps, stride=1, dilation=1, offset=offset)
+
+
 def _even(x):
     """Select even positions of the last axis via a trailing reshape (avoids
     pathological strided-slice lowerings)."""
@@ -168,14 +178,37 @@ def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
 # A-trous (SWT) steps — swt_one_level.jl conventions
 # ---------------------------------------------------------------------------
 
+def _atrous_pair(v, D: int, lo, hi, off1: int, off2: int):
+    """Dilated filter pair with offsets that are multiples of the dilation:
+    w[i] = sum_t f[t] * v[(i + D*t + D*off) mod n].  Decomposes into D
+    independent stride-1 circular correlations over the cosets i mod D —
+    reshape, filter along the coset axis, reshape back.  Short cosets use a
+    dense (c, 2c) operator matmul."""
+    n = v.shape[-1]
+    if D == 1:
+        return (_circ_correlate(v, lo, off1), _circ_correlate(v, hi, off2))
+    c = n // D
+    cos = jnp.moveaxis(v.reshape(*v.shape[:-1], c, D), -1, -2)  # (..., D, c)
+    F = len(lo)
+    if c <= _ops.MATMUL_CUTOFF // 2 or c < F:
+        M = jnp.asarray(_ops.atrous_operator(_ops.taps_key(lo, hi), c,
+                                             off1, off2), v.dtype)
+        out = cos @ M  # (..., D, 2c)
+        w1c = out[..., :c]
+        w2c = out[..., c:]
+    else:
+        w1c = _window_correlate(cos, lo, off1)
+        w2c = _window_correlate(cos, hi, off2)
+    w1 = jnp.moveaxis(w1c, -2, -1).reshape(*v.shape[:-1], n)
+    w2 = jnp.moveaxis(w2c, -2, -1).reshape(*v.shape[:-1], n)
+    return w1, w2
+
+
 def sdwt_step(v, d: int, lo: np.ndarray, hi: np.ndarray):
     """One stationary (a-trous) analysis step at depth ``d``
     (swt_one_level.jl:99-127).  Output length == input length."""
     L = len(lo)
-    s = 1 << d
-    w1 = periodic_filter(v, lo, stride=1, dilation=s, offset=-s)
-    w2 = periodic_filter(v, hi, stride=1, dilation=s, offset=-(L - 1) * s)
-    return w1, w2
+    return _atrous_pair(v, 1 << d, lo, hi, -1, -(L - 1))
 
 
 def isdwt_step_shift(v_shape_n: int, w1, w2, d: int, sv: int, sw: int,
@@ -236,11 +269,8 @@ def acdwt_step(v, d: int, ac_lo: np.ndarray, ac_hi: np.ndarray):
     i.e. a dilated correlation with a half-filter phase shift.
     """
     Lac = len(ac_lo)
-    s = 1 << d
-    off = s - (Lac // 2 + 1) * s
-    w1 = periodic_filter(v, ac_lo, stride=1, dilation=s, offset=off)
-    w2 = periodic_filter(v, ac_hi, stride=1, dilation=s, offset=off)
-    return w1, w2
+    off = -(Lac // 2)  # in coset units: s - (Lac//2 + 1)*s == -s*(Lac//2)
+    return _atrous_pair(v, 1 << d, ac_lo, ac_hi, off, off)
 
 
 def iacdwt_step(w1, w2):

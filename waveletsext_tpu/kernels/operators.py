@@ -116,3 +116,14 @@ def composed_synthesis_operator(tkey, m: int, depth: int) -> np.ndarray:
         v = _np_synth(blocks[:, : mm // 2], blocks[:, mm // 2:], lo, hi)
         S = v.reshape(m, m)
     return S
+
+
+@functools.lru_cache(maxsize=None)
+def atrous_operator(tkey, c: int, off1: int, off2: int) -> np.ndarray:
+    """(c, 2c) per-coset operator for one a-trous step on length-c cosets:
+    out = [w1 | w2] with w_k[q] = sum_t f_k[t] x[(q + t + off_k) mod c]."""
+    lo, hi = _unpack(tkey)
+    eye = np.eye(c)
+    w1 = _np_pf(eye, lo, 1, 1, off1)
+    w2 = _np_pf(eye, hi, 1, 1, off2)
+    return np.concatenate([w1, w2], axis=1)

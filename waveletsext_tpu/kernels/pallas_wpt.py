@@ -1,0 +1,110 @@
+"""Pallas fused WPT kernel for TPU.
+
+One batch tile makes a single trip through VMEM: the shallow packet levels
+(nodes larger than the matmul cutoff) run as window-correlates on the VPU,
+then every remaining level collapses into one composed per-node orthogonal
+operator contraction on the MXU (kernels/operators.py).  HBM traffic is one
+read + one write of the signal tile — the XLA path materializes every level.
+
+Mosaic constraints shape the layout (probed on this toolchain): lane-dim
+splits and strided slices are unsupported, but sublane splits, transposes and
+plain sublane slices are fine.  So the kernel works *signal-on-sublanes*:
+the (TB, n) tile is transposed to (n, TB) inside VMEM, node windows are
+sublane slices, decimation is a sublane-split reshape select, and the deep
+composed operator applies as ``A^T @ node``.
+
+Numerically equivalent to transforms.dwt.wpt up to f32 summation-order noise;
+used by the benchmark fast path (TPU only).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..filters import wavelet as _wavelet
+from . import operators as _ops
+
+
+def _node_level(node, lo, hi):
+    """(m, TB) node -> (w1, w2) each (m//2, TB), signal on sublanes."""
+    m = node.shape[0]
+    F = len(lo)
+    xall = jnp.concatenate([node[m - (F - 2):], node, node[:F]], axis=0)
+    a1 = None
+    a2 = None
+    for t in range(F):
+        w1t = float(lo[t]) * xall[F - 2 + t: F - 2 + t + m]
+        a1 = w1t if a1 is None else a1 + w1t
+        w2t = float(hi[t]) * xall[t: t + m]
+        a2 = w2t if a2 is None else a2 + w2t
+    w1 = a1.reshape(m // 2, 2, a1.shape[-1])[:, 0, :]
+    w2 = a2.reshape(m // 2, 2, a2.shape[-1])[:, 0, :]
+    return w1, w2
+
+
+def _make_kernel(n: int, L: int, shallow: int, lo, hi):
+    def kernel(x_ref, a_ref, y_ref):
+        cur = x_ref[:].T  # (n, TB), signal on sublanes
+        for d in range(shallow):
+            m = n >> d
+            outs = []
+            for b in range(1 << d):
+                w1, w2 = _node_level(cur[b * m:(b + 1) * m], lo, hi)
+                outs.append(w1)
+                outs.append(w2)
+            cur = jnp.concatenate(outs, axis=0)
+        if shallow < L:
+            m0 = n >> shallow
+            at = a_ref[:]  # (m0, m0) = A^T
+            pieces = []
+            for b in range(1 << shallow):
+                node = cur[b * m0:(b + 1) * m0]
+                pieces.append(jnp.dot(at, node,
+                                      preferred_element_type=node.dtype))
+            cur = jnp.concatenate(pieces, axis=0)
+        y_ref[:] = cur.T
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "block_b"))
+def wpt_pallas(x, wt: str, L: int, block_b: int = 128):
+    """Fused 1-D WPT (int levels) for (B, n) float32/bfloat16 on TPU."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    B, n = x.shape
+    cutoff = _ops.MATMUL_CUTOFF
+    shallow = 0
+    while shallow < L and (n >> shallow) > cutoff:
+        shallow += 1
+    if shallow < L:
+        m0 = n >> shallow
+        A = _ops.composed_analysis_operator(
+            _ops.taps_key(w.lo, w.hi), m0, L - shallow)
+        At = jnp.asarray(np.ascontiguousarray(A.T), x.dtype)
+    else:
+        At = jnp.zeros((8, 128), x.dtype)  # unused
+    tb = min(block_b, B)
+    assert B % tb == 0, (B, tb)
+    kernel = _make_kernel(n, L, shallow, w.lo, w.hi)
+    flops = 2 * B * n * (len(w.lo) * 2 * shallow + (n >> shallow))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(At.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * B * n * x.dtype.itemsize,
+            transcendentals=0),
+    )(x, At)

@@ -37,6 +37,36 @@ def _wt(wt) -> Wavelet:
     return _wavelet(wt) if isinstance(wt, str) else wt
 
 
+def _tpu_backend() -> bool:
+    import os
+    if os.environ.get("WAVELETSEXT_TPU_NO_PALLAS"):
+        return False
+    try:
+        import jax
+        plat = jax.devices()[0].platform.lower()
+    except Exception:
+        return False
+    return plat.startswith("tpu") or plat == "axon"
+
+
+def _try_pallas_wpt(x, w, L: int):
+    """Dispatch to the fused Pallas kernel when profitable and supported:
+    TPU backend, f32/bf16, flat batch divisible by a tile, deep enough that
+    fusion pays.  Returns None to fall through to the XLA path."""
+    n = x.shape[-1]
+    if (x.ndim < 2 or x.dtype not in (jnp.float32, jnp.bfloat16)
+            or n <= _kops.MATMUL_CUTOFF or (n >> L) < 2
+            or not _tpu_backend()):
+        return None
+    B = int(np.prod(x.shape[:-1]))
+    block = next((b for b in (128, 64, 32, 16, 8) if B % b == 0), None)
+    if block is None:
+        return None
+    from ..kernels.pallas_wpt import wpt_pallas
+    out = wpt_pallas(x.reshape(B, n), w.name, L, block)
+    return out.reshape(*x.shape[:-1], n)
+
+
 def _default_levels(n: int, L) -> int:
     L0 = maxtransformlevels(n)
     if L is None:
@@ -221,6 +251,9 @@ def wpt(x, wt, tree_or_L=None):
     n = x.shape[-1]
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(n, None if tree_or_L is None else int(tree_or_L))
+        fused = _try_pallas_wpt(x, w, L)
+        if fused is not None:
+            return fused
         cur = x
         d = 0
         while d < L and (n >> d) > _kops.MATMUL_CUTOFF:
