@@ -134,6 +134,20 @@ def main():
         return float(jnp.sum(y))
     record("c3_acwt_denoise", wall_time(c3_ac), B3 * n3, {"B": B3, "n": n3})
 
+    # fused single-program denoise round trips (slope-timed: the wall numbers
+    # above are dominated by per-dispatch tunnel latency at this size)
+    def swt_pipe(a):
+        xw = wx.sdwt(a, "db4")
+        t = dn.sureshrink(xw, True)
+        return dn.denoise(xw, "sdwt", "db4", dnt=t, estnoise=dn.noisest)
+    record("c3_swt_denoise_fused", slope_time(swt_pipe, x3, 2, 16),
+           B3 * n3, {"B": B3, "n": n3})
+
+    def ac_pipe(a):
+        return dn.denoise(wx.acdwt(a, "db4"), "acdwt", "db4")
+    record("c3_acwt_denoise_fused", slope_time(ac_pipe, x3, 2, 16),
+           B3 * n3, {"B": B3, "n": n3})
+
     # PSNR quality gate (must beat noisy input)
     y3 = dn.denoise(wx.sdwt(x3, "db4"), "sdwt", "db4", smooth="undersmooth")
     x0 = jnp.asarray(wx.duplicatesignals(base, B3, 2).astype(np.float32))

@@ -135,3 +135,26 @@ def test_jbb_reconstruction_roundtrip(data):
     tree = basis.bestbasistree(data["xw"])
     coefs = wx.getbasiscoef(data["xw"], tree)
     assert np.allclose(wx.iwpt(coefs, "haar", tree), data["x"])
+
+
+def test_vectorized_selection_matches_sequential_oracle():
+    """The level-synchronous CW pruning must match the reference-style
+    sequential reverse-node loop on random costs, binary and quad, min and
+    max, single and batched."""
+    rng = np.random.default_rng(7)
+    # binary: n=64, costs down to depth 4 -> k = 2^5 - 1 = 31
+    for sel in ("min", "max"):
+        c = rng.standard_normal((8, 31)) ** 2
+        got = basis.bestbasis_treeselection(c, 64, selection=sel)
+        want = basis._bestbasis_treeselection_seq(c, 64, selection=sel)
+        assert np.array_equal(got, want)
+        c1 = c[0]
+        got1 = basis.bestbasis_treeselection(c1, 64, selection=sel)
+        want1 = basis._bestbasis_treeselection_seq(c1, 64, selection=sel)
+        assert np.array_equal(got1, want1)
+    # quad: 32x32 image, costs to depth 3 -> k = (4^4-1)/3 = 85
+    for sel in ("min", "max"):
+        c = rng.standard_normal((4, 85)) ** 2
+        got = basis.bestbasis_treeselection(c, 32, 32, selection=sel)
+        want = basis._bestbasis_treeselection_seq(c, 32, 32, selection=sel)
+        assert np.array_equal(got, want)

@@ -260,7 +260,59 @@ def _subtree_indices(i: int, nt: int, quad: bool) -> list:
 def bestbasis_treeselection(costs, n: int, m: int | None = None,
                             selection: str = "min") -> np.ndarray:
     """Bottom-up CW pruning (BestBasis.jl:59-110).  ``costs`` is ``(k,)`` or
-    ``(B, k)`` (per-signal); returns ``(nt,)`` or ``(B, nt)`` bool trees."""
+    ``(B, k)`` (per-signal); returns ``(nt,)`` or ``(B, nt)`` bool trees.
+
+    Level-synchronous re-design of the reference's per-node reverse loop
+    (BestBasis.jl:67-80): one bottom-up sweep records, per internal node, the
+    accumulated subtree cost and whether splitting beats keeping the parent;
+    one top-down sweep propagates liveness.  L vectorized numpy steps instead
+    of O(#nodes) Python iterations (the reference walks ~(4^Lmax-1)/3 nodes
+    for quadtrees even when only the first levels carry costs)."""
+    costs = np.asarray(costs, dtype=np.float64)
+    squeeze = costs.ndim == 1
+    if squeeze:
+        costs = costs[None, :]
+    B, k = costs.shape
+    quad = m is not None
+    br = 4 if quad else 2
+    if quad:
+        D = getdepth(k, "quad")
+        tree0 = maketree2d(n, m, D, "full")
+    else:
+        D = getdepth(k, "binary")
+        tree0 = maketree(n, D, "full")
+    nt = len(tree0)
+    better = np.less if selection == "min" else np.greater
+
+    def lvl_start(d):  # 0-based slot of the first depth-d node
+        return ((4 ** d - 1) // 3) if quad else ((1 << d) - 1)
+
+    # bottom-up: opt cost of each subtree + split decision per internal node
+    opt = costs.copy()
+    splits = [None] * D
+    for d in range(D - 1, -1, -1):
+        i0, i1 = lvl_start(d), lvl_start(d + 1)
+        c0, c1 = i1, lvl_start(d + 2)
+        csum = opt[:, c0:c1].reshape(B, i1 - i0, br).sum(axis=2)
+        pc = opt[:, i0:i1]
+        keep = better(csum, pc)
+        opt[:, i0:i1] = np.where(keep, csum, pc)
+        splits[d] = keep
+    # top-down: a node is split iff its decision says so and its parent split
+    trees = np.zeros((B, nt), dtype=bool)
+    alive = np.ones((B, 1), dtype=bool)
+    for d in range(D):
+        lvl = splits[d] & alive
+        trees[:, lvl_start(d): lvl_start(d + 1)] = lvl
+        alive = np.repeat(lvl, br, axis=1)
+    return trees[0] if squeeze else trees
+
+
+def _bestbasis_treeselection_seq(costs, n: int, m: int | None = None,
+                                 selection: str = "min") -> np.ndarray:
+    """Direct transliteration of the reference's sequential reverse-node
+    pruning loop (BestBasis.jl:59-110) — kept as the test oracle for the
+    vectorized :func:`bestbasis_treeselection`."""
     costs = np.asarray(costs, dtype=np.float64).copy()
     squeeze = costs.ndim == 1
     if squeeze:
@@ -280,13 +332,17 @@ def bestbasis_treeselection(costs, n: int, m: int | None = None,
         alive = trees[:, i - 1]
         if not alive.any():
             continue
-        pc = costs[:, i - 1]
         if quad:
+            if getchildindex(i, "bottomright") > k:
+                continue
             cc = sum(costs[:, getchildindex(i, c) - 1] for c in
                      ("topleft", "topright", "bottomleft", "bottomright"))
         else:
+            if getchildindex(i, "right") > k:
+                continue
             cc = (costs[:, getchildindex(i, "left") - 1]
                   + costs[:, getchildindex(i, "right") - 1])
+        pc = costs[:, i - 1]
         keep = better(cc, pc) & alive
         costs[keep, i - 1] = cc[keep]
         kill = alive & ~keep
