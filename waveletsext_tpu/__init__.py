@@ -45,4 +45,6 @@ from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
                   FishersClassSeparability, RobustFishersClassSeparability,
                   energy_map, discriminant_measure, discriminant_power)
 
+from .kernels.conv import set_matmul_precision
+
 __version__ = "0.1.0"

@@ -25,6 +25,24 @@ import jax.numpy as jnp
 
 from . import operators as _ops
 
+# Matmul precision for the dense per-node operator path.  On TPU the default
+# f32 matmul precision is bf16 passes, which costs ~1e-2 absolute error per
+# round trip through the (m, m) operators — unacceptable for a library whose
+# reference semantics are exact float64 reconstruction.  HIGHEST requests the
+# fp32-accurate MXU mode; override (e.g. Precision.DEFAULT for speed over
+# accuracy) via set_matmul_precision().
+MATMUL_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_matmul_precision(p):
+    """Set the MXU precision used by the dense operator fast paths.
+
+    Must be called before the first transform call: precision is baked into
+    traced programs and is not part of the jit cache key.
+    """
+    global MATMUL_PRECISION
+    MATMUL_PRECISION = jax.lax.Precision(p) if isinstance(p, str) else p
+
 
 def periodic_filter(x, taps, stride: int = 1, dilation: int = 1, offset: int = 0):
     """w[..., i] = sum_t taps[t] * x[..., (stride*i + dilation*t + offset) % n].
@@ -137,7 +155,7 @@ def analysis_step(v, lo: np.ndarray, hi: np.ndarray):
     if m <= _ops.MATMUL_CUTOFF:
         A = jnp.asarray(_ops.analysis_operator(_ops.taps_key(lo, hi), m),
                         v.dtype)
-        out = v @ A
+        out = jnp.matmul(v, A, precision=MATMUL_PRECISION)
         return out[..., : m // 2], out[..., m // 2:]
     w1 = _even(_window_correlate(v, lo, 0))
     w2 = _even(_window_correlate(v, hi, 2 - L))
@@ -160,7 +178,8 @@ def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
         S = jnp.asarray(
             _ops.synthesis_operator(_ops.taps_key(lo, hi), 2 * half),
             w1.dtype)
-        return jnp.concatenate([w1, w2], axis=-1) @ S
+        return jnp.matmul(jnp.concatenate([w1, w2], axis=-1), S,
+                          precision=MATMUL_PRECISION)
     outs = []
     for e in (0, 1):
         lo_e = np.asarray(lo[e::2])
@@ -193,7 +212,7 @@ def _atrous_pair(v, D: int, lo, hi, off1: int, off2: int):
     if c <= _ops.MATMUL_CUTOFF // 2 or c < F:
         M = jnp.asarray(_ops.atrous_operator(_ops.taps_key(lo, hi), c,
                                              off1, off2), v.dtype)
-        out = cos @ M  # (..., D, 2c)
+        out = jnp.matmul(cos, M, precision=MATMUL_PRECISION)  # (..., D, 2c)
         w1c = out[..., :c]
         w2c = out[..., c:]
     else:

@@ -29,6 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..filters import wavelet as _wavelet
 from . import operators as _ops
+from . import conv as _conv
 
 
 def _node_level(node, lo, hi):
@@ -66,7 +67,8 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi):
             for b in range(1 << shallow):
                 node = cur[b * m0:(b + 1) * m0]
                 pieces.append(jnp.dot(at, node,
-                                      preferred_element_type=node.dtype))
+                                      preferred_element_type=node.dtype,
+                                      precision=_conv.MATMUL_PRECISION))
             cur = jnp.concatenate(pieces, axis=0)
         y_ref[:] = cur.T
     return kernel
@@ -107,4 +109,7 @@ def wpt_pallas(x, wt: str, L: int, block_b: int = 128):
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=2 * B * n * x.dtype.itemsize,
             transcendentals=0),
+        # fp32-accurate (6-pass) MXU dots need extra scratch beyond the
+        # default 16MB scoped-vmem budget; v5e has 128MB physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
     )(x, At)

@@ -265,7 +265,9 @@ def wpt(x, wt, tree_or_L=None):
             A = jnp.asarray(_kops.composed_analysis_operator(
                 _kops.taps_key(w.lo, w.hi), m, L - d), cur.dtype)
             nodes = cur.reshape(*cur.shape[:-1], 1 << d, m)
-            cur = (nodes @ A).reshape(*cur.shape[:-1], n)
+            cur = jnp.matmul(nodes, A,
+                             precision=conv.MATMUL_PRECISION
+                             ).reshape(*cur.shape[:-1], n)
         return cur
     tree = np.asarray(tree_or_L, dtype=bool)
     depth = tree_depth(tree, "binary")
