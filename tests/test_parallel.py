@@ -71,3 +71,41 @@ def test_cp_haar_small_filter():
     got = cp.wpd_cp(xs, "db2", 4, mesh)
     ref = wx.wpd(x, "db2", 4)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def test_scaling_collective_parser():
+    """The scaling benchmark's HLO collective parser must handle plain,
+    tuple-typed, and async (-start) collectives with ring factors."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "scaling", pathlib.Path(__file__).parent.parent
+        / "benchmarks" / "scaling.py")
+    scaling = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scaling)
+    hlo = """
+      %ar = (f32[8,16]{1,0}, f32[8,16]{1,0}) all-reduce(%a, %b), channel_id=1
+      %cp = f32[4,4]{1,0} collective-permute(%c), channel_id=2
+      %ag = bf16[32]{0} all-gather-start(%d), channel_id=3
+    """
+    got = scaling.collective_bytes(hlo, 4)
+    assert got["all-reduce"] == 2 * 3 / 4 * (2 * 8 * 16 * 4)
+    assert got["collective-permute"] == 4 * 4 * 4
+    assert got["all-gather"] == 3 / 4 * 32 * 2
+
+
+def test_scaling_analyze_smoke():
+    """analyze() must compile+run on a tiny virtual mesh, report positive
+    compute time and nonzero all-reduce bytes for dp>1 JBB moments."""
+    import importlib.util
+    import pathlib
+    spec = importlib.util.spec_from_file_location(
+        "scaling", pathlib.Path(__file__).parent.parent
+        / "benchmarks" / "scaling.py")
+    scaling = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(scaling)
+    r = scaling.analyze(2, 1, per_dev_batch=4, n=64, L=3, pipeline="jbb")
+    assert r["devices"] == 2
+    assert r["per_device_flops"] > 0
+    assert r["collective_bytes"].get("all-reduce", 0) > 0
+    assert 0 < r["efficiency"] <= 1
