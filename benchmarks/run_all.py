@@ -113,6 +113,15 @@ def main():
     record("c2b_bestbasistreeall", wall_time(c2b), B2 * n2,
            {"B": B2, "n": n2})
 
+    # fused single-program pipelines: wpd -> costs -> device CW selection ->
+    # dynamic extraction (slope-timed on the coefficient output)
+    c2_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L2)[1]
+    record("c2_jbb_fused", slope_time(c2_fused, x2, 2, 16), B2 * n2,
+           {"B": B2, "n": n2})
+    c2b_fused = lambda a: wx.bestbasisall_pipeline(a, "db4", L2)[1]
+    record("c2b_bball_fused", slope_time(c2b_fused, x2, 2, 16), B2 * n2,
+           {"B": B2, "n": n2})
+
     # -- config 3: SWT/ACWT + SURE denoising of noisy HeaviSine batch --------
     B3 = 32 if QUICK else 256
     n3 = 256
@@ -170,6 +179,10 @@ def main():
         costs = wx.tree_costs(xw, wx.JBB(), is2d=True)
         return wx.bestbasis_treeselection(np.asarray(costs), n4, n4)
     record("c4_jbb_2d", wall_time(c4_jbb), B4 * n4 * n4, {"B": B4})
+
+    c4_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L4, is2d=True)[1]
+    record("c4_jbb_2d_fused", slope_time(c4_fused, x4, 2, 8),
+           B4 * n4 * n4, {"B": B4})
 
     # -- config 5: LDB pipeline on triangular 3-class dataset ---------------
     Xc5, y5 = wx.generateclassdata(wx.ClassData("tri", 33, 33, 33), rng=rng)

@@ -158,3 +158,68 @@ def test_vectorized_selection_matches_sequential_oracle():
         got = basis.bestbasis_treeselection(c, 32, 32, selection=sel)
         want = basis._bestbasis_treeselection_seq(c, 32, 32, selection=sel)
         assert np.array_equal(got, want)
+
+
+def test_device_selection_matches_host():
+    """The traceable jnp selection must equal the host selection exactly on
+    random costs, binary and quad, min and max, single and batched."""
+    rng = np.random.default_rng(11)
+    for sel in ("min", "max"):
+        c = rng.standard_normal((6, 31)) ** 2
+        dev = np.asarray(basis.bestbasis_treeselection_dev(
+            jnp.asarray(c), 64, selection=sel))
+        host = basis.bestbasis_treeselection(c, 64, selection=sel)
+        assert np.array_equal(dev, host)
+        cq = rng.standard_normal((3, 85)) ** 2
+        devq = np.asarray(basis.bestbasis_treeselection_dev(
+            jnp.asarray(cq), 32, 32, selection=sel))
+        hostq = basis.bestbasis_treeselection(cq, 32, 32, selection=sel)
+        assert np.array_equal(devq, hostq)
+
+
+def test_dynamic_extraction_matches_static():
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((5, 128))
+    xw = wx.wpd(x, "db4", 5)
+    tree = wx.bestbasistree(xw)
+    got = np.asarray(wx.getbasiscoef_dyn(xw, jnp.asarray(tree)))
+    want = np.asarray(wx.getbasiscoef(xw, tree))
+    assert np.allclose(got, want)
+    # per-signal device trees vs host per-signal extraction
+    trees = wx.bestbasistreeall(xw)
+    got = np.asarray(wx.getbasiscoef_dyn(xw, jnp.asarray(trees)))
+    want = np.asarray(wx.getbasiscoefall(xw, trees))
+    assert np.allclose(got, want)
+
+
+def test_dynamic_extraction_2d_matches_static():
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((4, 32, 32))
+    xw = wx.wpd2(x, "haar", 3)
+    tree = wx.bestbasistree(xw, is2d=True)
+    got = np.asarray(wx.getbasiscoef2_dyn(xw, jnp.asarray(tree)))
+    want = np.asarray(wx.getbasiscoef2(xw, tree))
+    assert np.allclose(got, want)
+
+
+def test_fused_pipelines_match_host_composition():
+    rng = np.random.default_rng(14)
+    x = rng.standard_normal((8, 256))
+    tree, coefs = wx.bestbasis_pipeline(x, "db4", 6)
+    xw = wx.wpd(x, "db4", 6)
+    host_tree = wx.bestbasistree(xw)
+    assert np.array_equal(np.asarray(tree), host_tree)
+    assert np.allclose(np.asarray(coefs), np.asarray(wx.getbasiscoef(xw, host_tree)))
+    trees, coefs = wx.bestbasisall_pipeline(x, "db4", 6)
+    host_trees = wx.bestbasistreeall(xw)
+    assert np.array_equal(np.asarray(trees), host_trees)
+    assert np.allclose(np.asarray(coefs),
+                       np.asarray(wx.getbasiscoefall(xw, host_trees)))
+    # 2-D
+    ximg = rng.standard_normal((4, 32, 32))
+    tree2, coefs2 = wx.bestbasis_pipeline(ximg, "haar", 3, is2d=True)
+    xw2 = wx.wpd2(ximg, "haar", 3)
+    host2 = wx.bestbasistree(xw2, is2d=True)
+    assert np.array_equal(np.asarray(tree2), host2)
+    assert np.allclose(np.asarray(coefs2),
+                       np.asarray(wx.getbasiscoef2(xw2, host2)))

@@ -31,7 +31,9 @@ from .denoising import (HardTH, SoftTH, SteinTH, threshold, VisuShrink,
 from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     LoglpCost, NormCost, DifferentialEntropyCost, coefcost,
                     tree_costs, bestbasis_treeselection, bestbasistree,
-                    bestbasistreeall)
+                    bestbasistreeall, bestbasis_treeselection_dev,
+                    bestbasis_pipeline, bestbasisall_pipeline)
+from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
 
 from .wavemult import (ns_dwt, ns_idwt, sft, isft, stretchmatrix, ndyad,
                        dyadlength, mat2sparseform_nonstd, mat2sparseform_std,

@@ -376,3 +376,84 @@ def bestbasistreeall(X, method=None, is2d: bool = False) -> np.ndarray:
         n, m = X.shape[-2:]
         return bestbasis_treeselection(costs, n, m)
     return bestbasis_treeselection(costs, X.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Coifman-Wickerhauser selection — device side (fused pipelines)
+# ---------------------------------------------------------------------------
+
+def bestbasis_treeselection_dev(costs, n: int, m: int | None = None,
+                                selection: str = "min"):
+    """Traceable twin of :func:`bestbasis_treeselection`: same two level
+    sweeps in jnp, so selection can live inside a jitted pipeline.  ``costs``
+    is ``(..., k)``; returns a bool ``(..., nt)`` device tree."""
+    quad = m is not None
+    br = 4 if quad else 2
+    k = costs.shape[-1]
+    if quad:
+        D = getdepth(k, "quad")
+        nt = len(maketree2d(n, m, D, "full"))
+    else:
+        D = getdepth(k, "binary")
+        nt = len(maketree(n, D, "full"))
+    lead = costs.shape[:-1]
+    c = costs.reshape((-1, k))
+    B = c.shape[0]
+
+    def start(d):
+        return ((4 ** d - 1) // 3) if quad else ((1 << d) - 1)
+
+    opt = c
+    decisions = []
+    for d in range(D - 1, -1, -1):
+        i0, i1, c1 = start(d), start(d + 1), start(d + 2)
+        csum = opt[:, i1:c1].reshape(B, i1 - i0, br).sum(axis=2)
+        pc = opt[:, i0:i1]
+        keep = (csum < pc) if selection == "min" else (csum > pc)
+        opt = opt.at[:, i0:i1].set(jnp.where(keep, csum, pc))
+        decisions.append((d, keep))
+    tree = jnp.zeros((B, nt), dtype=bool)
+    alive = jnp.ones((B, 1), dtype=bool)
+    for d, keep in reversed(decisions):
+        lvl = keep & alive
+        tree = tree.at[:, start(d): start(d + 1)].set(lvl)
+        alive = jnp.repeat(lvl, br, axis=1)
+    return tree.reshape(lead + (nt,))
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
+def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
+    """The fused §3.1 "training" loop: batch WPD -> per-node costs -> CW
+    selection -> basis-coefficient extraction, one XLA program end to end
+    (the reference runs this as four serial host phases,
+    BestBasis.jl:185-217 + Utils.jl:169-202).  Returns ``(tree, coefs)``
+    with the tree still on device."""
+    from .transforms.dwt import wpd, wpd2
+    from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
+    method = JBB() if method is None else method
+    xw = wpd2(x, wt, L) if is2d else wpd(x, wt, L)
+    costs = tree_costs(xw, method, is2d)
+    if is2d:
+        n, m = x.shape[-2:]
+        tree = bestbasis_treeselection_dev(costs, n, m)
+        return tree, getbasiscoef2_dyn(xw, tree)
+    tree = bestbasis_treeselection_dev(costs, x.shape[-1])
+    return tree, getbasiscoef_dyn(xw, tree)
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
+def bestbasisall_pipeline(x, wt, L=None, method=None, is2d: bool = False):
+    """Fused per-signal best-basis: WPD -> vmapped BB costs -> batched CW
+    selection -> per-signal extraction, one program (reference:
+    BestBasis.jl:253-262 looping signals on the host)."""
+    from .transforms.dwt import wpd, wpd2
+    from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
+    method = BB() if method is None else method
+    xw = wpd2(x, wt, L) if is2d else wpd(x, wt, L)
+    costs = jax.vmap(lambda s: tree_costs(s, method, is2d))(xw)
+    if is2d:
+        n, m = x.shape[-2:]
+        trees = bestbasis_treeselection_dev(costs, n, m)
+        return trees, getbasiscoef2_dyn(xw, trees)
+    trees = bestbasis_treeselection_dev(costs, x.shape[-1])
+    return trees, getbasiscoef_dyn(xw, trees)

@@ -160,6 +160,75 @@ def getbasiscoefall(xw, trees) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Dynamic (device-tree) coefficient extraction — lets the whole
+# wpd -> costs -> CW selection -> extraction pipeline stay in one XLA
+# program (no host round trip; the reference has no analog)
+# ---------------------------------------------------------------------------
+
+def leaf_level_map_dyn(tree, n: int):
+    """Per-position leaf depth from a *device* bool tree ``(..., nt)``.
+
+    A valid tree's marks form a prefix along every root-to-leaf path, so the
+    leaf depth of position ``p`` is simply the number of marked ancestors —
+    one `repeat`+add per level, fully traceable."""
+    nt = tree.shape[-1]
+    lead = tree.shape[:-1]
+    t = tree.reshape((-1, nt)).astype(jnp.int32)
+    lvl = jnp.zeros((t.shape[0], n), dtype=jnp.int32)
+    d = 0
+    while (1 << d) - 1 < nt and (n >> d) >= 1:
+        i0 = (1 << d) - 1
+        i1 = min((1 << (d + 1)) - 1, nt)
+        marks = t[:, i0:i1]
+        if i1 - i0 < (1 << d):
+            marks = jnp.pad(marks, ((0, 0), (0, (1 << d) - (i1 - i0))))
+        lvl = lvl + jnp.repeat(marks, n >> d, axis=1)
+        d += 1
+    return lvl.reshape(lead + (n,))
+
+
+def leaf_level_map2_dyn(tree, n: int, m: int):
+    """2-D analog of :func:`leaf_level_map_dyn` over quadtrees: ``(..., nt)``
+    bool -> ``(..., n, m)`` int32 leaf depths (Z-order node layout)."""
+    from .basis import _zorder_perm
+    nt = tree.shape[-1]
+    lead = tree.shape[:-1]
+    t = tree.reshape((-1, nt)).astype(jnp.int32)
+    lvl = jnp.zeros((t.shape[0], n, m), dtype=jnp.int32)
+    d = 0
+    while (4 ** d - 1) // 3 < nt and (n >> d) >= 1 and (m >> d) >= 1:
+        g = 1 << d
+        i0 = (4 ** d - 1) // 3
+        i1 = min(i0 + g * g, nt)
+        marks = t[:, i0:i1]
+        if i1 - i0 < g * g:
+            marks = jnp.pad(marks, ((0, 0), (0, g * g - (i1 - i0))))
+        inv = np.argsort(_zorder_perm(d))  # node order -> row-major grid
+        rm = marks[:, inv].reshape(-1, g, g)
+        rm = jnp.repeat(jnp.repeat(rm, n >> d, axis=1), m >> d, axis=2)
+        lvl = lvl + rm
+        d += 1
+    return lvl.reshape(lead + (n, m))
+
+
+def getbasiscoef_dyn(xw, tree) -> jnp.ndarray:
+    """:func:`getbasiscoef` for device trees — ``tree`` may be ``(nt,)``
+    (shared) or have leading batch dims matching ``xw``'s."""
+    n = xw.shape[-1]
+    lvl = leaf_level_map_dyn(tree, n)
+    idx = jnp.broadcast_to(lvl[..., None, :], xw.shape[:-2] + (1, n))
+    return jnp.take_along_axis(xw, idx, axis=-2)[..., 0, :]
+
+
+def getbasiscoef2_dyn(xw, tree) -> jnp.ndarray:
+    """:func:`getbasiscoef2` for device trees."""
+    n, m = xw.shape[-2:]
+    lvl = leaf_level_map2_dyn(tree, n, m)
+    idx = jnp.broadcast_to(lvl[..., None, :, :], xw.shape[:-3] + (1, n, m))
+    return jnp.take_along_axis(xw, idx, axis=-3)[..., 0, :, :]
+
+
+# ---------------------------------------------------------------------------
 # Coarsest-scaling / finest-detail ranges (noise estimation entry points)
 # ---------------------------------------------------------------------------
 
