@@ -48,5 +48,13 @@ from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
                   energy_map, discriminant_measure, discriminant_power)
 
 from .kernels.conv import set_matmul_precision
+from .filters import makereverseqmfpair
+from .basis import (CostFunction, BBCost, JBBCost, LSDBCost, BestBasisType)
+from .ldb import (EnergyMap, DiscriminantMeasure, ProbabilityDensityDM,
+                  SignaturesDM, DiscriminantPower)
+from .compat import (ShiftInvariantWaveletTransformNode,
+                     ShiftInvariantWaveletTransformObject)
+from .viz import (treenodes_matrix, tfbdry, tfbdry2, wiggle_data,
+                  plot_tfbdry, plot_tfbdry2, wiggle)
 
 __version__ = "0.1.0"

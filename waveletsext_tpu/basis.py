@@ -36,30 +36,46 @@ from .utils import getrowrange, getcolrange
 # Cost functionals (bestbasis_costs.jl)
 # ---------------------------------------------------------------------------
 
+class CostFunction:
+    """Abstract root of the cost-functor hierarchy (bestbasis_costs.jl:16)."""
+
+
+class BBCost(CostFunction):
+    """Costs usable by single-signal BB (bestbasis_costs.jl:19)."""
+
+
+class JBBCost(CostFunction):
+    """Costs usable by JBB (bestbasis_costs.jl:22)."""
+
+
+class LSDBCost(CostFunction):
+    """Costs usable by LSDB (bestbasis_costs.jl:25)."""
+
+
 @dataclasses.dataclass(frozen=True)
-class ShannonEntropyCost:
+class ShannonEntropyCost(BBCost):
     """-sum s*log(s), s = (x/nrm)^2 (bestbasis_costs.jl:104-108)."""
 
 
 @dataclasses.dataclass(frozen=True)
-class LogEnergyEntropyCost:
+class LogEnergyEntropyCost(BBCost):
     """-sum log(s) (bestbasis_costs.jl:110-114)."""
 
 
 @dataclasses.dataclass(frozen=True)
-class LoglpCost:
+class LoglpCost(JBBCost):
     """p * sum(log|x|) (bestbasis_costs.jl:127-130)."""
     p: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)
-class NormCost:
+class NormCost(JBBCost):
     """||x||_p^p (bestbasis_costs.jl:132)."""
     p: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
-class DifferentialEntropyCost:
+class DifferentialEntropyCost(LSDBCost):
     """ASH-based empirical differential entropy (bestbasis_costs.jl:135-164)."""
 
 
@@ -125,20 +141,24 @@ def _ash_differential_entropy(x):
 # Best-basis method types (bestbasis_tree.jl:25-64)
 # ---------------------------------------------------------------------------
 
+class BestBasisType:
+    """Abstract root of the best-basis method types (bestbasis_tree.jl:20)."""
+
+
 @dataclasses.dataclass(frozen=True)
-class BB:
+class BB(BestBasisType):
     cost: object = ShannonEntropyCost()
     redundant: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
-class JBB:
+class JBB(BestBasisType):
     cost: object = LoglpCost(2.0)
     redundant: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
-class LSDB:
+class LSDB(BestBasisType):
     cost: object = DifferentialEntropyCost()
     redundant: bool = False
 

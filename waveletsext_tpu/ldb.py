@@ -34,18 +34,22 @@ from .transforms import dwt as _dwt_mod
 # Energy map types (ldb_energymap.jl)
 # ---------------------------------------------------------------------------
 
+class EnergyMap:
+    """Abstract energy-map root (ldb_energymap.jl:7)."""
+
+
 @dataclasses.dataclass(frozen=True)
-class TimeFrequency:
+class TimeFrequency(EnergyMap):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class ProbabilityDensity:
+class ProbabilityDensity(EnergyMap):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class Signatures:
+class Signatures(EnergyMap):
     weight: str = "equal"  # 'equal' or 'pdf'
 
 
@@ -61,28 +65,40 @@ class Signature:
 # Discriminant measures (ldb_measures.jl)
 # ---------------------------------------------------------------------------
 
+class DiscriminantMeasure:
+    """Abstract discriminant-measure root (ldb_measures.jl:14)."""
+
+
+class ProbabilityDensityDM(DiscriminantMeasure):
+    """Measures over pdf/energy maps (ldb_measures.jl:17)."""
+
+
+class SignaturesDM(DiscriminantMeasure):
+    """Measures over signatures (ldb_measures.jl:20)."""
+
+
 @dataclasses.dataclass(frozen=True)
-class AsymmetricRelativeEntropy:
+class AsymmetricRelativeEntropy(ProbabilityDensityDM):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class SymmetricRelativeEntropy:
+class SymmetricRelativeEntropy(ProbabilityDensityDM):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class HellingerDistance:
+class HellingerDistance(ProbabilityDensityDM):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class LpDistance:
+class LpDistance(ProbabilityDensityDM):
     p: float = 2.0
 
 
 @dataclasses.dataclass(frozen=True)
-class EarthMoverDistance:
+class EarthMoverDistance(SignaturesDM):
     pass
 
 
@@ -90,18 +106,22 @@ class EarthMoverDistance:
 # Discriminant powers
 # ---------------------------------------------------------------------------
 
+class DiscriminantPower:
+    """Abstract discriminant-power root (ldb_measures.jl:23)."""
+
+
 @dataclasses.dataclass(frozen=True)
-class BasisDiscriminantMeasure:
+class BasisDiscriminantMeasure(DiscriminantPower):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class FishersClassSeparability:
+class FishersClassSeparability(DiscriminantPower):
     pass
 
 
 @dataclasses.dataclass(frozen=True)
-class RobustFishersClassSeparability:
+class RobustFishersClassSeparability(DiscriminantPower):
     pass
 
 

@@ -213,19 +213,26 @@ def leaf_level_map2_dyn(tree, n: int, m: int):
 
 def getbasiscoef_dyn(xw, tree) -> jnp.ndarray:
     """:func:`getbasiscoef` for device trees — ``tree`` may be ``(nt,)``
-    (shared) or have leading batch dims matching ``xw``'s."""
+    (shared) or have leading batch dims matching ``xw``'s.
+
+    Implemented as a one-hot masked sum over the (static) level axis rather
+    than a gather: L+1 fused selects lower far better on TPU than a
+    take_along_axis with n indices (measured ~2x on the fused c4 pipeline).
+    """
     n = xw.shape[-1]
-    lvl = leaf_level_map_dyn(tree, n)
-    idx = jnp.broadcast_to(lvl[..., None, :], xw.shape[:-2] + (1, n))
-    return jnp.take_along_axis(xw, idx, axis=-2)[..., 0, :]
+    k = xw.shape[-2]
+    lvl = leaf_level_map_dyn(tree, n)[..., None, :]     # (..., 1, n)
+    d = jnp.arange(k, dtype=lvl.dtype).reshape((k, 1))  # (k, 1)
+    return jnp.sum(jnp.where(lvl == d, xw, 0.0), axis=-2)
 
 
 def getbasiscoef2_dyn(xw, tree) -> jnp.ndarray:
-    """:func:`getbasiscoef2` for device trees."""
+    """:func:`getbasiscoef2` for device trees (one-hot masked level sum)."""
     n, m = xw.shape[-2:]
-    lvl = leaf_level_map2_dyn(tree, n, m)
-    idx = jnp.broadcast_to(lvl[..., None, :, :], xw.shape[:-3] + (1, n, m))
-    return jnp.take_along_axis(xw, idx, axis=-3)[..., 0, :, :]
+    k = xw.shape[-3]
+    lvl = leaf_level_map2_dyn(tree, n, m)[..., None, :, :]   # (..., 1, n, m)
+    d = jnp.arange(k, dtype=lvl.dtype).reshape((k, 1, 1))
+    return jnp.sum(jnp.where(lvl == d, xw, 0.0), axis=-3)
 
 
 # ---------------------------------------------------------------------------
