@@ -193,6 +193,33 @@ def main():
         return np.asarray(f.fit_transform(X5, y5))
     record("c5_ldb_fit_transform", wall_time(c5), X5.size, {"N": len(y5)})
 
+    # fused one-program fit_transform: one dispatch instead of ~10 (the tiny
+    # reference-size config is pure tunnel latency, so throughput is measured
+    # at production batch size via the slope method)
+    f5 = ldb_mod.LocalDiscriminantBasis(wt="haar", n_features=10)
+    np.asarray(wx.ldb_fit_transform_pipeline(f5, X5, y5))
+
+    def c5f():
+        f = ldb_mod.LocalDiscriminantBasis(wt="haar", n_features=10)
+        return np.asarray(wx.ldb_fit_transform_pipeline(f, X5, y5))
+    record("c5_ldb_fused_wall", wall_time(c5f), X5.size, {"N": len(y5)})
+
+    Nb = 170 if QUICK else 1366
+    Xb, yb = wx.generateclassdata(wx.ClassData("tri", Nb, Nb, Nb), rng=rng)
+    Xb = jnp.asarray(Xb.astype(np.float32))
+    fb = ldb_mod.LocalDiscriminantBasis(wt="haar", n_features=10)
+    np.asarray(wx.ldb_fit_transform_pipeline(fb, Xb, yb))  # resolve config
+    from waveletsext_tpu.ldb import _ldb_pipeline, _class_masks
+    idxsb = tuple(tuple(int(i) for i in ix) for ix in _class_masks(yb)[1])
+
+    def c5_fused(a):
+        _, _, _, feats = _ldb_pipeline(a, fb.wt, fb.max_dec_level, fb.en,
+                                       fb.dm, fb.dp, fb.top_k, fb.n_features,
+                                       idxsb, False)
+        return a + jnp.sum(feats) * 1e-30
+    record("c5b_ldb_fused_4k", slope_time(c5_fused, Xb, 2, 8), Xb.size,
+           {"N": 3 * Nb})
+
     out = pathlib.Path(__file__).parent / "all_results.json"
     out.write_text(json.dumps({"device": dev, "quick": QUICK,
                                "results": RESULTS}, indent=2))

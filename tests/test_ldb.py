@@ -98,3 +98,31 @@ def test_top_k(tri_data):
     Xc = f.fit_transform(X, y)
     assert Xc.shape == (15, 8)
     assert wx.isvalidtree(f.tree, "binary")
+
+
+def test_fused_fit_transform_matches_estimator():
+    """ldb_fit_transform_pipeline must reproduce the estimator path's tree,
+    order, and features for every fusable (en, dm, dp) combination."""
+    X, y = wx.generateclassdata(wx.ClassData("tri", 8, 8, 8),
+                                rng=np.random.default_rng(5))
+    X = jnp.asarray(X.astype(np.float64))
+    combos = [
+        (wx.TimeFrequency(), wx.AsymmetricRelativeEntropy(),
+         wx.BasisDiscriminantMeasure()),
+        (wx.TimeFrequency(), wx.LpDistance(),
+         wx.FishersClassSeparability()),
+        (wx.ProbabilityDensity(), wx.SymmetricRelativeEntropy(),
+         wx.RobustFishersClassSeparability()),
+        (wx.TimeFrequency(), wx.HellingerDistance(),
+         wx.BasisDiscriminantMeasure()),
+    ]
+    for en, dm, dp in combos:
+        ref = wx.LocalDiscriminantBasis(wt="db2", max_dec_level=4, dm=dm,
+                                        en=en, dp=dp, top_k=8, n_features=6)
+        want = np.asarray(ref.fit_transform(X, y))
+        fus = wx.LocalDiscriminantBasis(wt="db2", max_dec_level=4, dm=dm,
+                                        en=en, dp=dp, top_k=8, n_features=6)
+        got = np.asarray(wx.ldb_fit_transform_pipeline(fus, X, y))
+        assert np.array_equal(fus.tree, ref.tree), (en, dm, dp)
+        assert np.array_equal(fus.order, ref.order), (en, dm, dp)
+        assert np.allclose(got, want, atol=1e-10), (en, dm, dp)

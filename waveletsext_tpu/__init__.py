@@ -45,7 +45,8 @@ from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
                   SymmetricRelativeEntropy, HellingerDistance, LpDistance,
                   EarthMoverDistance, BasisDiscriminantMeasure,
                   FishersClassSeparability, RobustFishersClassSeparability,
-                  energy_map, discriminant_measure, discriminant_power)
+                  energy_map, discriminant_measure, discriminant_power,
+                  ldb_fit_transform_pipeline)
 
 from .kernels.conv import set_matmul_precision
 from .filters import makereverseqmfpair

@@ -17,6 +17,7 @@ vectorized device programs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import itertools
 import warnings
 
@@ -178,6 +179,12 @@ def energy_map(Xw, y, method):
     """
     Xw = jnp.asarray(Xw)
     classes, idxs = _class_masks(y)
+    return _energy_map_idxs(Xw, idxs, method)
+
+
+def _energy_map_idxs(Xw, idxs, method):
+    """Traceable core of :func:`energy_map` over precomputed (static) class
+    index arrays — reused by the fused fit pipeline."""
     if isinstance(method, TimeFrequency):
         maps = []
         for idx in idxs:
@@ -328,6 +335,15 @@ def discriminant_power(*args):
         return power, order
     coefs, y = jnp.asarray(a), b
     classes, idxs = _class_masks(y)
+    power = _power_values(coefs, idxs, dp)
+    order = np.argsort(-np.asarray(power).ravel(), kind="stable")
+    return power, order
+
+
+def _power_values(coefs, idxs, dp):
+    """Traceable Fisher / robust-Fisher power over static class index arrays
+    (ldb_measures.jl:441-519 — including the reference's ``Eα .* Eαᵢ``
+    between-class term, reproduced verbatim for parity)."""
     pi = jnp.asarray([len(ix) for ix in idxs], coefs.dtype)
     pi = pi / jnp.sum(pi)
     if isinstance(dp, FishersClassSeparability):
@@ -344,10 +360,8 @@ def discriminant_power(*args):
     else:
         raise TypeError(f"unknown discriminant power {dp!r}")
     pib = pi.reshape((-1,) + (1,) * (cen.ndim - 1))
-    power = (jnp.sum((cen - overall[None] * cen) ** 2 * pib, axis=0)
-             / jnp.sum(spr * pib, axis=0))
-    order = np.argsort(-np.asarray(power).ravel(), kind="stable")
-    return power, order
+    return (jnp.sum((cen - overall[None] * cen) ** 2 * pib, axis=0)
+            / jnp.sum(spr * pib, axis=0))
 
 
 # ---------------------------------------------------------------------------
@@ -523,3 +537,72 @@ class LocalDiscriminantBasis:
         X = self.inverse_transform(x)
         self.n_features = n_features
         return self.transform(X)
+
+
+# ---------------------------------------------------------------------------
+# Fused fit_transform — the whole LDB fit as ONE XLA program
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "en", "dm", "dp",
+                                             "top_k", "n_features", "idxs",
+                                             "is2d"))
+def _ldb_pipeline(X, wt, L, en, dm, dp, top_k, n_features, idxs, is2d):
+    """wpd -> energy map -> discriminant measure -> top-k node costs ->
+    device CW max-selection -> dynamic extraction -> discriminant power ->
+    feature ordering, traced once (the estimator path runs ~10 separate
+    dispatches; over the remote tunnel that is latency-dominated).
+
+    ``idxs``: static tuple of per-class index tuples.  Signatures/EMD energy
+    maps return python Signature objects and stay on the estimator path.
+    """
+    from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
+    from .basis import bestbasis_treeselection_dev
+    np_idxs = [np.asarray(ix, dtype=np.int64) for ix in idxs]
+    Xw = (_dwt_mod.wpd2(X, wt, L) if is2d else _dwt_mod.wpd(X, wt, L))
+    Gamma = _energy_map_idxs(Xw, np_idxs, en)
+    D = discriminant_measure(Gamma, dm)
+    cost = _ldb_node_costs(D, top_k, is2d)
+    if is2d:
+        n, m = X.shape[-2:]
+        tree = bestbasis_treeselection_dev(cost, n, m, selection="max")
+        Xc = getbasiscoef2_dyn(Xw, tree)
+        power = (getbasiscoef2_dyn(D, tree)
+                 if isinstance(dp, BasisDiscriminantMeasure)
+                 else _power_values(Xc, np_idxs, dp))
+    else:
+        tree = bestbasis_treeselection_dev(cost, X.shape[-1], selection="max")
+        Xc = getbasiscoef_dyn(Xw, tree)
+        power = (getbasiscoef_dyn(D, tree)
+                 if isinstance(dp, BasisDiscriminantMeasure)
+                 else _power_values(Xc, np_idxs, dp))
+    order = jnp.argsort(-power.reshape(-1), stable=True)
+    feats = jnp.take(Xc.reshape(X.shape[0], -1), order[:n_features], axis=1)
+    return tree, power, order, feats
+
+
+def ldb_fit_transform_pipeline(f, X, y):
+    """Fused :meth:`LocalDiscriminantBasis.fit_transform`: one XLA program,
+    identical results (modulo argsort tie order, which is stable in both).
+    Fills the estimator's fitted state (tree/DP/order; Gamma/DM/cost stay
+    unset — use the estimator path if you need them) and returns features."""
+    X = jnp.asarray(X)
+    sz = X.shape[1:]
+    if isinstance(f.en, Signatures):
+        return f.fit_transform(X, y)  # Signature objects are host-side
+    if f.max_dec_level is None:
+        f.max_dec_level = maxtransformlevels(min(sz))
+    nelem = int(np.prod(sz))
+    if f.top_k is None:
+        f.top_k = nelem
+    if f.n_features is None:
+        f.n_features = nelem
+    _, idxs = _class_masks(y)
+    idxs = tuple(tuple(int(i) for i in ix) for ix in idxs)
+    tree, power, order, feats = _ldb_pipeline(
+        X, f.wt, f.max_dec_level, f.en, f.dm, f.dp, f.top_k, f.n_features,
+        idxs, len(sz) == 2)
+    f.sz = tuple(sz)
+    f.tree = np.asarray(tree)
+    f.DP = power
+    f.order = np.asarray(order)
+    return feats
