@@ -109,3 +109,16 @@ def test_scaling_analyze_smoke():
     assert r["per_device_flops"] > 0
     assert r["collective_bytes"].get("all-reduce", 0) > 0
     assert 0 < r["efficiency"] <= 1
+
+
+def test_sharded_bestbasis_pipeline_matches_single():
+    """Full fused best-basis step over a (dp, sp) mesh must equal the
+    single-device pipeline (tree and coefficients)."""
+    from waveletsext_tpu.parallel.sharding import bestbasis_pipeline_sharded
+    mesh = make_mesh(4, 2)
+    x = jnp.asarray(RNG.standard_normal((16, 256)).astype(np.float64))
+    xs = shard_batch(x, mesh)
+    tree_s, coefs_s = bestbasis_pipeline_sharded(xs, "db4", 6, mesh)
+    tree_1, coefs_1 = wx.bestbasis_pipeline(x, "db4", 6)
+    assert np.array_equal(np.asarray(tree_s), np.asarray(tree_1))
+    assert np.allclose(np.asarray(coefs_s), np.asarray(coefs_1), atol=1e-12)

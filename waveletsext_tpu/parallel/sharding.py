@@ -69,6 +69,21 @@ def jbb_pipeline_sharded(x, wt: str, L: int, mesh: Mesh, p: float = 2.0):
     return xw, sigma
 
 
+@functools.partial(jax.jit, static_argnames=("wt", "L", "mesh", "method"))
+def bestbasis_pipeline_sharded(x, wt: str, L: int, mesh: Mesh, method=None):
+    """The FULL fused best-basis step over a (dp, sp) mesh: wpd -> JBB/LSDB
+    cost moments (cross-dp psum inserted by XLA) -> device CW selection
+    (replicated, tiny) -> dynamic coefficient extraction (dp/sp local).
+    Returns (tree, coefs) entirely on device — nothing touches the host."""
+    from ..basis import bestbasis_pipeline
+    x = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P("dp", "sp")))
+    tree, coefs = bestbasis_pipeline(x, wt, L, method)
+    coefs = jax.lax.with_sharding_constraint(
+        coefs, NamedSharding(mesh, P("dp", "sp")))
+    return tree, coefs
+
+
 @functools.partial(jax.jit, static_argnames=("wt", "L", "mesh"))
 def denoise_step_sharded(x, threshold, wt: str, L: int, mesh: Mesh):
     """One sharded hard-threshold denoising step: wpd -> threshold -> iwpd.
