@@ -149,12 +149,18 @@ def main():
         xw = wx.sdwt(a, "db4")
         t = dn.sureshrink(xw, True)
         return dn.denoise(xw, "sdwt", "db4", dnt=t, estnoise=dn.noisest)
-    record("c3_swt_denoise_fused", slope_time(swt_pipe, x3, 2, 16),
+    record("c3_swt_denoise_fused", slope_time(swt_pipe, x3, 8, 64),
            B3 * n3, {"B": B3, "n": n3})
 
     def ac_pipe(a):
         return dn.denoise(wx.acdwt(a, "db4"), "acdwt", "db4")
-    record("c3_acwt_denoise_fused", slope_time(ac_pipe, x3, 2, 16),
+    record("c3_acwt_denoise_fused", slope_time(ac_pipe, x3, 8, 128),
+           B3 * n3, {"B": B3, "n": n3})
+
+    # fully fused best-basis VisuShrink: wpd -> JBB -> threshold -> dynamic
+    # inverse, one program
+    bb_den = lambda a: wx.bestbasis_denoise_pipeline(a, "db4", 6)
+    record("c3b_bb_denoise_fused", slope_time(bb_den, x3, 8, 128),
            B3 * n3, {"B": B3, "n": n3})
 
     # PSNR quality gate (must beat noisy input)

@@ -223,3 +223,55 @@ def test_fused_pipelines_match_host_composition():
     assert np.array_equal(np.asarray(tree2), host2)
     assert np.allclose(np.asarray(coefs2),
                        np.asarray(wx.getbasiscoef2(xw2, host2)))
+
+
+def test_dynamic_inverse_matches_static():
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((6, 256))
+    xw = wx.wpd(x, "db4", 6)
+    tree = wx.bestbasistree(xw)
+    coefs = wx.getbasiscoef(xw, tree)
+    want = np.asarray(wx.iwpt(coefs, "db4", tree))
+    got = np.asarray(wx.iwpt_dyn(jnp.asarray(coefs), "db4", jnp.asarray(tree)))
+    assert np.allclose(got, want, atol=1e-12)
+    assert np.allclose(got, x, atol=1e-10)
+
+
+def test_dynamic_inverse_per_signal_trees():
+    """A batch of per-signal trees reconstructs in one call (the reference
+    loops signals)."""
+    rng = np.random.default_rng(22)
+    x = rng.standard_normal((5, 128))
+    xw = wx.wpd(x, "coif2", 5)
+    trees = wx.bestbasistreeall(xw)
+    assert len(np.unique(trees.astype(int) @ (1 << np.arange(trees.shape[1]) % 63))) >= 1
+    coefs = wx.getbasiscoefall(xw, trees)
+    got = np.asarray(wx.iwpt_dyn(jnp.asarray(coefs), "coif2",
+                                 jnp.asarray(trees)))
+    assert np.allclose(got, x, atol=1e-10)
+    # per-signal static loop oracle
+    want = np.stack([np.asarray(wx.iwpt(coefs[i], "coif2", trees[i]))
+                     for i in range(len(x))])
+    assert np.allclose(got, want, atol=1e-12)
+
+
+def test_dynamic_inverse_2d():
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((3, 32, 32))
+    xw = wx.wpd2(x, "haar", 3)
+    tree = wx.bestbasistree(xw, is2d=True)
+    coefs = wx.getbasiscoef2(xw, tree)
+    got = np.asarray(wx.iwpt2_dyn(jnp.asarray(coefs), "haar",
+                                  jnp.asarray(tree)))
+    assert np.allclose(got, x, atol=1e-10)
+
+
+def test_iswpd_dyn_matches_static():
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((4, 128))
+    xw = wx.swpd(x, "db2", 4)
+    costs = basis.tree_costs(xw, basis.JBB(redundant=True))
+    tree = basis.bestbasis_treeselection(np.asarray(costs), 128)
+    want = np.asarray(wx.iswpd(xw, "db2", tree))
+    got = np.asarray(wx.iswpd_dyn(xw, "db2", jnp.asarray(tree)))
+    assert np.allclose(got, want, atol=1e-10)

@@ -124,3 +124,32 @@ def test_batched_threshold_matches_single():
     for i in range(4):
         assert np.isclose(float(rel[i]),
                           float(dn.relerrorthreshold(x[i], False)))
+
+
+def test_fused_bestbasis_denoise_matches_composition():
+    """The fused pipeline must equal the host-composed equivalent (same
+    sigma/threshold formulas) and actually denoise."""
+    rng = np.random.default_rng(31)
+    base = wx.generatesignals("heavisine", 8)
+    x0 = wx.duplicatesignals(base, 16, 2)
+    x = jnp.asarray(x0 + 0.4 * rng.standard_normal(x0.shape))
+    n = x.shape[-1]
+    y = np.asarray(wx.bestbasis_denoise_pipeline(x, "db4", 6))
+    # host composition with identical formulas
+    xw = wx.wpd(x, "db4", 6)
+    tree = wx.bestbasistree(xw)
+    coefs = np.asarray(wx.getbasiscoef(xw, tree))
+    dr = np.asarray(xw)[..., 1, n // 2:]
+    med = np.median(dr, axis=-1, keepdims=True)
+    sigma = np.median(np.abs(dr - med), axis=-1, keepdims=True) / 0.6745
+    t = sigma * np.sqrt(2 * np.log(n))
+    shrunk = np.where(np.abs(coefs) > t, coefs, 0.0)
+    want = np.asarray(wx.iwpt(jnp.asarray(shrunk), "db4", tree))
+    assert np.allclose(y, want, atol=1e-10)
+    err_noisy = np.linalg.norm(np.asarray(x) - x0)
+    err_den = np.linalg.norm(y - x0)
+    assert err_den < err_noisy
+    # per-signal BB trees + undersmooth + soft all trace and run
+    y2 = wx.bestbasis_denoise_pipeline(x, "db4", 6, method=wx.BB(),
+                                       soft=True, smooth="undersmooth")
+    assert y2.shape == x.shape

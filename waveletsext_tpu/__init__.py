@@ -16,9 +16,9 @@ from .utils import (nodelength, packet, main2depthshift, getrowrange,
                     getcolrange, getbasiscoef, getbasiscoef2, getbasiscoefall,
                     coarsestscalingrange, finestdetailrange)
 from .transforms.dwt import (dwt, idwt, dwt2, idwt2, wpt, iwpt, wpt2, iwpt2,
-                             wpd, iwpd, wpd2, iwpd2)
+                             wpd, iwpd, wpd2, iwpd2, iwpt_dyn, iwpt2_dyn)
 from .transforms.swt import (sdwt, sdwt2, isdwt, isdwt2, swpt, swpt2, iswpt,
-                             iswpt2, swpd, swpd2, iswpd, iswpd2)
+                             iswpt2, swpd, swpd2, iswpd, iswpd2, iswpd_dyn)
 from .transforms.acwt import (acdwt, acdwt2, iacdwt, iacdwt2, acwpt, acwpt2,
                               iacwpt, iacwpt2, acwpd, acwpd2, iacwpd, iacwpd2)
 from .datasets import (generatesignals, duplicatesignals, ClassData,
@@ -27,7 +27,7 @@ from .metrics import relativenorm, psnr, snr, ssim
 from .denoising import (HardTH, SoftTH, SteinTH, threshold, VisuShrink,
                       visushrink, SureShrink, sureshrink, RelErrorShrink,
                       noisest, surethreshold, relerrorthreshold, denoise,
-                      denoiseall)
+                      denoiseall, bestbasis_denoise_pipeline)
 from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     LoglpCost, NormCost, DifferentialEntropyCost, coefcost,
                     tree_costs, bestbasis_treeselection, bestbasistree,

@@ -305,3 +305,56 @@ def denoiseall(x, inputtype: str, wt, **kwargs):
     """Batch denoising (Denoising.jl:651-712).  Identical to :func:`denoise`
     (everything is batched here); kept for API parity."""
     return denoise(x, inputtype, wt, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Fused best-basis denoising — transform -> best basis -> threshold ->
+# inverse as ONE XLA program (no reference counterpart: Denoising.jl composes
+# these as separate host phases with per-signal loops)
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
+                                              "smooth"))
+def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
+                               smooth: str = "regular"):
+    """VisuShrink denoising in the best basis, fully fused.
+
+    wpd -> per-node costs -> device CW selection (JBB shared tree, or
+    per-signal BB trees when ``method=BB()``) -> dynamic coefficient
+    extraction -> MAD sigma from the finest detail half (the reference's
+    ``noisest`` on a dwt layout, Denoising.jl:214-232) -> VisuShrink
+    t = sigma*sqrt(2 ln n) (Denoising.jl:124-126) -> hard/soft threshold
+    (``smooth="undersmooth"`` spares the coarsest scaling band,
+    Denoising.jl:561-565) -> dynamic-tree inverse.  Returns the denoised
+    batch; per-signal trees reconstruct in the same program.
+    """
+    from .basis import (tree_costs, bestbasis_treeselection_dev, JBB, BB)
+    from .utils import getbasiscoef_dyn, leaf_level_map_dyn
+    method = JBB() if method is None else method
+    n = x.shape[-1]
+    xw = _dwt_mod.wpd(x, wt, L)
+    if isinstance(method, BB):
+        costs = jax.vmap(lambda s: tree_costs(s, method))(xw)
+    else:
+        costs = tree_costs(xw, method)
+    tree = bestbasis_treeselection_dev(costs, n)
+    coefs = getbasiscoef_dyn(xw, tree)
+    # sigma: MAD of the finest-detail coefficients (level-1 high half)
+    dr = xw[..., 1, n // 2:]
+    med = jnp.median(dr, axis=-1, keepdims=True)
+    sigma = jnp.median(jnp.abs(dr - med), axis=-1, keepdims=True) / 0.6745
+    t = sigma * np.sqrt(2.0 * np.log(n))
+    if soft:
+        shrunk = jnp.sign(coefs) * jnp.maximum(jnp.abs(coefs) - t, 0.0)
+    else:
+        shrunk = jnp.where(jnp.abs(coefs) > t, coefs, 0.0)
+    if smooth == "undersmooth":
+        # spare the coarsest scaling band: positions [0, n >> leaf_level(0))
+        lvl = leaf_level_map_dyn(tree, n)
+        band = (n >> lvl[..., :1])            # (..., 1) scaling-leaf length
+        pos = jnp.arange(n)
+        shrunk = jnp.where(pos < band, coefs, shrunk)
+    return _dwt_mod.iwpt_dyn(shrunk, wt, tree)

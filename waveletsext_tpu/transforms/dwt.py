@@ -338,6 +338,57 @@ def iwpt2(y, wt, tree_or_L=None):
 
 
 # ---------------------------------------------------------------------------
+# Dynamic-tree inverses: the same masked level sweeps with *device* trees,
+# so (transform -> best basis -> threshold -> inverse) fuses into one XLA
+# program — and a batch of per-signal trees reconstructs in ONE call (the
+# reference loops signals, dwt_all.jl:324-342)
+# ---------------------------------------------------------------------------
+
+def _dyn_depth(nt: int, n: int, quad: bool) -> int:
+    """Number of split levels representable by an ``(nt,)`` tree on size n."""
+    t = "quad" if quad else "binary"
+    Dt = getdepth(nt, t)  # marks exist for depths 0..Dt
+    lim = 0
+    while (n >> (lim + 1)) >= 1 and lim + 1 <= Dt + 1:
+        lim += 1
+    return min(Dt + 1, lim)
+
+
+def iwpt_dyn(y, wt, tree):
+    """:func:`iwpt` under a device tree — ``(nt,)`` shared or ``(..., nt)``
+    per-signal bool."""
+    w = _wt(wt)
+    n = y.shape[-1]
+    depth = _dyn_depth(tree.shape[-1], n, quad=False)
+    cur = y
+    for d in range(depth - 1, -1, -1):
+        merged = _wpt_level_inv(cur, d, w.lo, w.hi)
+        marks = tree[..., (1 << d) - 1: (1 << (d + 1)) - 1]
+        posmask = jnp.repeat(marks, n >> d, axis=-1)
+        cur = jnp.where(posmask, merged, cur)
+    return cur
+
+
+def iwpt2_dyn(y, wt, tree):
+    """:func:`iwpt2` under a device quadtree (Z-order node layout)."""
+    w = _wt(wt)
+    n, m = y.shape[-2:]
+    depth = _dyn_depth(tree.shape[-1], min(n, m), quad=True)
+    cur = y
+    for d in range(depth - 1, -1, -1):
+        merged = _wpt_level_inv2(cur, d, w.lo, w.hi)
+        g = 1 << d
+        i0 = (4 ** d - 1) // 3
+        marks = tree[..., i0: i0 + g * g]
+        from ..basis import _zorder_perm
+        inv = np.argsort(_zorder_perm(d))
+        rm = marks[..., inv].reshape(*marks.shape[:-1], g, g)
+        posmask = jnp.repeat(jnp.repeat(rm, n // g, axis=-2), m // g, axis=-1)
+        cur = jnp.where(posmask, merged, cur)
+    return cur
+
+
+# ---------------------------------------------------------------------------
 # Plain DWT (recursive on the approximation branch only)
 # ---------------------------------------------------------------------------
 

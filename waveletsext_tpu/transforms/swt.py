@@ -303,6 +303,25 @@ def iswpd(xw, wt, tree_or_L=None, sm: int | None = None):
     return cur[..., 0, :]
 
 
+def iswpd_dyn(xw, wt, tree, sm: int | None = None):
+    """:func:`iswpd` under a *device* tree — ``(nt,)`` shared or ``(..., nt)``
+    per-signal bool — so swpd -> best basis -> threshold -> inverse fuses
+    into one XLA program (the reference's per-signal host loop is
+    swt_all.jl:350-392)."""
+    from ..trees import getdepth
+    w = _wt(wt)
+    Lmax = int(np.log2(xw.shape[-2] + 1)) - 1
+    depth = min(getdepth(tree.shape[-1], "binary") + 1, Lmax)
+    sd = None if sm is None else main2depthshift(sm, Lmax)
+    blocks = _swpd_level_blocks(xw, Lmax)
+    cur = blocks[depth]
+    for d in range(depth - 1, -1, -1):
+        merged = _merge_level(cur, d, w, sd)
+        marks = tree[..., (1 << d) - 1: (1 << (d + 1)) - 1]
+        cur = jnp.where(marks[..., None], merged, blocks[d])
+    return cur[..., 0, :]
+
+
 @apijit("wt", "tree_or_L", "sm")
 def iswpd2(xw, wt, tree_or_L=None, sm: int | None = None):
     """Inverse 2-D SWPD (SWT.jl:1097-1199)."""
