@@ -283,8 +283,20 @@ def iwpt(y, wt, tree_or_L=None):
     n = y.shape[-1]
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(n, None if tree_or_L is None else int(tree_or_L))
+        # collapse the deep (small-node) levels into one composed synthesis
+        # matmul per depth-dcut node, mirroring the forward fast path
+        dcut = 0
+        while dcut < L and (n >> dcut) > _kops.MATMUL_CUTOFF:
+            dcut += 1
         cur = y
-        for d in range(L - 1, -1, -1):
+        if dcut < L:
+            m0 = n >> dcut
+            S = jnp.asarray(_kops.composed_synthesis_operator(
+                _kops.taps_key(w.lo, w.hi), m0, L - dcut), cur.dtype)
+            nodes = cur.reshape(*cur.shape[:-1], 1 << dcut, m0)
+            cur = jnp.matmul(nodes, S, precision=conv.MATMUL_PRECISION
+                             ).reshape(*cur.shape[:-1], n)
+        for d in range(dcut - 1, -1, -1):
             cur = _wpt_level_inv(cur, d, w.lo, w.hi)
         return cur
     tree = np.asarray(tree_or_L, dtype=bool)
@@ -306,8 +318,17 @@ def wpt2(x, wt, tree_or_L=None):
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(min(n, m), None if tree_or_L is None else int(tree_or_L))
         cur = x
-        for d in range(L):
+        d = 0
+        while d < L and (min(n, m) >> d) > _kops.MATMUL_CUTOFF:
             cur = _wpt_level_fwd2(cur, d, w.lo, w.hi)
+            d += 1
+        if d < L:
+            # The 2-D packet transform is separable across levels: the column
+            # ops and row ops of every remaining level commute, so they
+            # collapse into ONE composed 1-D operator per axis applied as
+            # An^T @ node @ Am per depth-d node (two MXU matmuls instead of
+            # 2(L-d) filter passes with materialized intermediates).
+            cur = _composed_fwd2(cur, w, d, L, n, m)
         return cur
     tree = np.asarray(tree_or_L, dtype=bool)
     depth = tree_depth(tree, "quad")
@@ -316,14 +337,51 @@ def wpt2(x, wt, tree_or_L=None):
     return getbasiscoef2(xw, tree)
 
 
+def _composed_fwd2(cur, w, d: int, L: int, n: int, m: int):
+    g = 1 << d
+    bn, bm = n // g, m // g
+    tk = _kops.taps_key(w.lo, w.hi)
+    An = _kops.composed_analysis_operator(tk, bn, L - d)
+    Am = An if bm == bn else _kops.composed_analysis_operator(tk, bm, L - d)
+    AnT = jnp.asarray(np.ascontiguousarray(An.T), cur.dtype)
+    Amj = jnp.asarray(Am, cur.dtype)
+    nodes = cur.reshape(*cur.shape[:-2], g, bn, g, bm)
+    nodes = jnp.moveaxis(nodes, -2, -3)  # (..., g, g, bn, bm)
+    t = jnp.matmul(nodes, Amj, precision=conv.MATMUL_PRECISION)
+    t = jnp.matmul(AnT, t, precision=conv.MATMUL_PRECISION)
+    t = jnp.moveaxis(t, -3, -2)
+    return t.reshape(*cur.shape[:-2], n, m)
+
+
+def _composed_inv2(cur, w, d: int, L: int, n: int, m: int):
+    g = 1 << d
+    bn, bm = n // g, m // g
+    tk = _kops.taps_key(w.lo, w.hi)
+    Sn = _kops.composed_synthesis_operator(tk, bn, L - d)
+    Sm = Sn if bm == bn else _kops.composed_synthesis_operator(tk, bm, L - d)
+    SnT = jnp.asarray(np.ascontiguousarray(Sn.T), cur.dtype)
+    Smj = jnp.asarray(Sm, cur.dtype)
+    nodes = cur.reshape(*cur.shape[:-2], g, bn, g, bm)
+    nodes = jnp.moveaxis(nodes, -2, -3)
+    t = jnp.matmul(nodes, Smj, precision=conv.MATMUL_PRECISION)
+    t = jnp.matmul(SnT, t, precision=conv.MATMUL_PRECISION)
+    t = jnp.moveaxis(t, -3, -2)
+    return t.reshape(*cur.shape[:-2], n, m)
+
+
 @apijit("wt", "tree_or_L")
 def iwpt2(y, wt, tree_or_L=None):
     w = _wt(wt)
     n, m = y.shape[-2:]
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(min(n, m), None if tree_or_L is None else int(tree_or_L))
+        dcut = 0
+        while dcut < L and (min(n, m) >> dcut) > _kops.MATMUL_CUTOFF:
+            dcut += 1
         cur = y
-        for d in range(L - 1, -1, -1):
+        if dcut < L:
+            cur = _composed_inv2(cur, w, dcut, L, n, m)
+        for d in range(dcut - 1, -1, -1):
             cur = _wpt_level_inv2(cur, d, w.lo, w.hi)
         return cur
     tree = np.asarray(tree_or_L, dtype=bool)
