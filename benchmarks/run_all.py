@@ -147,7 +147,7 @@ def main():
     # above are dominated by per-dispatch tunnel latency at this size)
     def swt_pipe(a):
         xw = wx.sdwt(a, "db4")
-        t = dn.sureshrink(xw, True)
+        t = dn.sureshrink(xw, True, subsample=8)
         return dn.denoise(xw, "sdwt", "db4", dnt=t, estnoise=dn.noisest)
     record("c3_swt_denoise_fused", slope_time(swt_pipe, x3, 8, 64),
            B3 * n3, {"B": B3, "n": n3})

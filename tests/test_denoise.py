@@ -112,6 +112,26 @@ def test_threshold_determination_types():
     assert np.isfinite(float(dn.relerrorthreshold(xw, True, tree)))
 
 
+def test_subsampled_sure_near_exact():
+    # subsample=s estimates the SURE risk from every s-th coefficient; the
+    # risk of its chosen threshold must be within a few percent of the exact
+    # minimum (and the selector must stay a real coefficient magnitude)
+    x = jnp.asarray(RNG.standard_normal((8, 9, 256)).astype(np.float32))
+    t1 = np.asarray(dn.surethreshold(x, True))
+    t8 = np.asarray(dn.surethreshold(x, True, subsample=8))
+    a = np.sort(np.abs(np.asarray(x).reshape(8, -1)) ** 2, axis=-1)
+    n = a.shape[-1]
+
+    def risk(t2, row):
+        k = np.searchsorted(row, t2, side="right")
+        return (n - 2 * k + row[:k].sum() + (n - k) * t2) / n
+
+    flat = np.abs(np.asarray(x).reshape(8, -1))
+    for i in range(8):
+        assert np.any(np.isclose(flat[i], t8[i]))  # real data value
+        assert risk(t8[i] ** 2, a[i]) <= risk(t1[i] ** 2, a[i]) + 0.05
+
+
 def test_batched_threshold_matches_single():
     x = jnp.asarray(RNG.standard_normal((4, 64)))
     ts = dn.surethreshold(x, False)

@@ -92,10 +92,11 @@ class RelErrorShrink:
     t: float = 1.0
 
 
-def sureshrink(xw, redundant: bool = False, tree=None, th=HardTH()):
+def sureshrink(xw, redundant: bool = False, tree=None, th=HardTH(),
+               subsample: int = 1):
     """Data-driven SureShrink constructor (Denoising.jl:63-103).  For batched
     input the ``t`` attribute is an array of per-signal values."""
-    t = surethreshold(xw, redundant, tree)
+    t = surethreshold(xw, redundant, tree, subsample=subsample)
     return SureShrink(th, t)
 
 
@@ -118,19 +119,50 @@ def _relevant_coefs(coef, redundant, tree):
 # Threshold selection
 # ---------------------------------------------------------------------------
 
-@apijit("redundant", "tree")
-def surethreshold(coef, redundant: bool = False, tree=None):
+@apijit("redundant", "tree", "subsample")
+def surethreshold(coef, redundant: bool = False, tree=None,
+                  subsample: int = 1):
     """SURE risk minimization over sorted squared coefficients
-    (Denoising.jl:146-166).  Batched over leading axes."""
+    (Denoising.jl:146-166).  Batched over leading axes.
+
+    ``subsample=1`` (default) is the exact formulation.  ``subsample=s > 1``
+    minimizes the SURE risk estimated from every s-th coefficient (rank and
+    energy prefix-sums scaled by s) — the threshold is still a real
+    coefficient magnitude, and the risk of the chosen threshold is within
+    O(1/sqrt(m/s)) of the exact minimum (the risk curve is an empirical
+    average, so subsampling adds estimator noise of the same order as the
+    SURE estimate itself).  The point: XLA's TPU sort is the entire cost of
+    this selector at framework batch sizes (sorting (256, 2304) = 0.27 ms,
+    sorting the s=8 subsample = 0.02 ms), and a histogram-bisection rewrite
+    measured *slower* (compare-reduce tensors materialize; see
+    BENCHMARKS.md).  Subsampling uses the trailing-reshape select, never a
+    strided slice.
+    """
     y = _relevant_coefs(coef, redundant, tree)
     n = y.shape[-1]
-    a = jnp.sort(jnp.abs(y) ** 2, axis=-1)
-    b = jnp.cumsum(a, axis=-1)
-    c = jnp.arange(n - 1, -1, -1, dtype=a.dtype)
-    s = b + c * a
-    risk = (n - 2 * jnp.arange(1, n + 1, dtype=a.dtype) + s) / n
+    a2full = jnp.abs(y) ** 2
+    a2 = a2full
+    if subsample > 1:
+        m = (n // subsample) * subsample
+        a2 = a2[..., :m].reshape(*a2.shape[:-1], m // subsample,
+                                 subsample)[..., 0]
+    m = a2.shape[-1]
+    scale = n / m
+    a = jnp.sort(a2, axis=-1)
+    b = jnp.cumsum(a, axis=-1) * scale
+    ks = jnp.arange(1, m + 1, dtype=a.dtype) * scale
+    risk = (n - 2 * ks + b + (n - ks) * a) / n
     i = jnp.argmin(risk, axis=-1)
-    return jnp.sqrt(jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0])
+    rmin = jnp.take_along_axis(risk, i[..., None], axis=-1)[..., 0]
+    t = jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
+    if subsample > 1:
+        # the subsample misses the extreme tail, where the keep-nothing
+        # optimum of sparse/pure-noise inputs lives — evaluate that one
+        # candidate (t = max, rank = n) exactly: risk = (sum(a) - n)/n
+        amax = jnp.max(a2full, axis=-1)
+        rmax = (jnp.sum(a2full, axis=-1) - n) / n
+        t = jnp.where(rmax < rmin, amax, t)
+    return jnp.sqrt(t)
 
 
 @apijit("redundant", "tree")
