@@ -82,9 +82,19 @@ def _default_levels(n: int, L) -> int:
 
 def _wpt_level_fwd(cur, d: int, lo, hi):
     """One packet level: split all 2^d nodes of the packed slice ``cur``
-    (..., n) into their children, producing the packed depth-(d+1) slice."""
+    (..., n) into their children, producing the packed depth-(d+1) slice.
+
+    Nodes at or below the matmul cutoff run as one per-node (s, s) analysis
+    operator on the MXU (kernels/operators.py) — the same dispatch wpt uses,
+    so wpd/iwpd level sweeps get the fast path too."""
     n = cur.shape[-1]
-    nodes = cur.reshape(*cur.shape[:-1], 1 << d, n >> d)
+    s = n >> d
+    nodes = cur.reshape(*cur.shape[:-1], 1 << d, s)
+    if s <= _kops.MATMUL_CUTOFF:
+        A = jnp.asarray(_kops.analysis_operator(_kops.taps_key(lo, hi), s),
+                        cur.dtype)
+        out = jnp.matmul(nodes, A, precision=conv.MATMUL_PRECISION)
+        return out.reshape(*cur.shape[:-1], n)
     w1, w2 = conv.analysis_step(nodes, lo, hi)
     out = jnp.concatenate([w1, w2], axis=-1)  # [child_low | child_high] per node
     return out.reshape(*cur.shape[:-1], n)
@@ -93,25 +103,43 @@ def _wpt_level_fwd(cur, d: int, lo, hi):
 def _wpt_level_inv(nxt, d: int, lo, hi):
     """Merge all depth-(d+1) children in packed slice ``nxt`` back to depth d."""
     n = nxt.shape[-1]
-    nodes = nxt.reshape(*nxt.shape[:-1], 1 << d, n >> d)
+    s = n >> d
+    nodes = nxt.reshape(*nxt.shape[:-1], 1 << d, s)
+    if s <= _kops.MATMUL_CUTOFF:
+        S = jnp.asarray(_kops.synthesis_operator(_kops.taps_key(lo, hi), s),
+                        nxt.dtype)
+        v = jnp.matmul(nodes, S, precision=conv.MATMUL_PRECISION)
+        return v.reshape(*nxt.shape[:-1], n)
     half = n >> (d + 1)
     v = conv.synthesis_step(nodes[..., :half], nodes[..., half:], lo, hi)
     return v.reshape(*nxt.shape[:-1], n)
 
 
 def _wpt_level_fwd2(cur, d: int, lo, hi):
-    """2-D packet level on (..., n, m): split each of the 4^d nodes into 4."""
+    """2-D packet level on (..., n, m): split each of the 4^d nodes into 4.
+
+    Separable: for nodes at or below the matmul cutoff the whole level is
+    An^T @ node @ Am with the one-level analysis operators (two MXU matmuls
+    per node instead of column+row filter passes)."""
     n, m = cur.shape[-2:]
     g = 1 << d
     bn, bm = n // g, m // g
-    # (..., g, bn, g, bm) -> (..., g, g, bn, bm)
     nodes = cur.reshape(*cur.shape[:-2], g, bn, g, bm)
-    nodes = jnp.moveaxis(nodes, -2, -3)
-    w1, w2, w3, w4 = conv.analysis_step2(nodes, lo, hi)
-    # reassemble children: parent (j,k) -> children at (2j+a, 2k+b)
-    top = jnp.concatenate([w1, w2], axis=-1)     # (..., g, g, bn/2, bm)
-    bot = jnp.concatenate([w3, w4], axis=-1)
-    quad = jnp.concatenate([top, bot], axis=-2)  # (..., g, g, bn, bm)
+    nodes = jnp.moveaxis(nodes, -2, -3)  # (..., g, g, bn, bm)
+    if max(bn, bm) <= _kops.MATMUL_CUTOFF:
+        tk = _kops.taps_key(lo, hi)
+        An = _kops.analysis_operator(tk, bn)
+        Am = An if bm == bn else _kops.analysis_operator(tk, bm)
+        AnT = jnp.asarray(np.ascontiguousarray(An.T), cur.dtype)
+        t = jnp.matmul(nodes, jnp.asarray(Am, cur.dtype),
+                       precision=conv.MATMUL_PRECISION)
+        quad = jnp.matmul(AnT, t, precision=conv.MATMUL_PRECISION)
+    else:
+        w1, w2, w3, w4 = conv.analysis_step2(nodes, lo, hi)
+        # reassemble children: parent (j,k) -> children at (2j+a, 2k+b)
+        top = jnp.concatenate([w1, w2], axis=-1)     # (..., g, g, bn/2, bm)
+        bot = jnp.concatenate([w3, w4], axis=-1)
+        quad = jnp.concatenate([top, bot], axis=-2)  # (..., g, g, bn, bm)
     quad = jnp.moveaxis(quad, -3, -2)            # (..., g, bn, g, bm)
     return quad.reshape(*cur.shape[:-2], n, m)
 
@@ -122,12 +150,21 @@ def _wpt_level_inv2(nxt, d: int, lo, hi):
     bn, bm = n // g, m // g
     nodes = nxt.reshape(*nxt.shape[:-2], g, bn, g, bm)
     nodes = jnp.moveaxis(nodes, -2, -3)          # (..., g, g, bn, bm)
-    hn, hm = bn // 2, bm // 2
-    w1 = nodes[..., :hn, :hm]
-    w2 = nodes[..., :hn, hm:]
-    w3 = nodes[..., hn:, :hm]
-    w4 = nodes[..., hn:, hm:]
-    v = conv.synthesis_step2(w1, w2, w3, w4, lo, hi)
+    if max(bn, bm) <= _kops.MATMUL_CUTOFF:
+        tk = _kops.taps_key(lo, hi)
+        Sn = _kops.synthesis_operator(tk, bn)
+        Sm = Sn if bm == bn else _kops.synthesis_operator(tk, bm)
+        SnT = jnp.asarray(np.ascontiguousarray(Sn.T), nxt.dtype)
+        t = jnp.matmul(nodes, jnp.asarray(Sm, nxt.dtype),
+                       precision=conv.MATMUL_PRECISION)
+        v = jnp.matmul(SnT, t, precision=conv.MATMUL_PRECISION)
+    else:
+        hn, hm = bn // 2, bm // 2
+        w1 = nodes[..., :hn, :hm]
+        w2 = nodes[..., :hn, hm:]
+        w3 = nodes[..., hn:, :hm]
+        w4 = nodes[..., hn:, hm:]
+        v = conv.synthesis_step2(w1, w2, w3, w4, lo, hi)
     v = jnp.moveaxis(v, -3, -2)
     return v.reshape(*nxt.shape[:-2], n, m)
 
