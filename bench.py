@@ -7,10 +7,21 @@ Prints ONE JSON line:
 ``vs_baseline`` compares against the measured serial-CPU reference point
 (native/wpt_baseline.cpp — the reference package publishes no numbers and
 Julia is unavailable, see BASELINE.md).  The CPU number is measured once and
-cached in benchmarks/cpu_baseline.json.
+cached in benchmarks/cpu_baseline.json (committed).
 
-Run on the real TPU chip (default JAX platform).  Extra per-config numbers go
-to benchmarks/results.json for local inspection; stdout stays one line.
+Driver-budget design (round-1 run timed out at compile):
+  * ONE compiled program — k is a *traced* fori_loop bound, so timing k_lo
+    and k_hi reuses the same executable (round 1 compiled two programs).
+  * The persistent compilation cache (.jax_cache/) is committed, so a fresh
+    checkout hits warm cache instead of recompiling through the remote
+    compile service (which can take minutes cold).
+  * Progress lines go to stderr immediately so a timeout tail is diagnosable.
+
+Timing method (see CLAUDE.md): block_until_ready can return before remote
+completion and host fetches are slow through the tunnel, so chain k transform
+applications inside one jitted fori_loop (wpt is shape-preserving), return a
+scalar, force completion by fetching it, and use the slope between two k
+values to cancel constant dispatch + transfer overhead.
 """
 
 import json
@@ -21,6 +32,11 @@ import sys
 import time
 
 ROOT = pathlib.Path(__file__).resolve().parent
+
+
+def log(msg):
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def cpu_baseline_msps() -> float:
@@ -43,9 +59,12 @@ def cpu_baseline_msps() -> float:
 def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           str(ROOT / ".jax_cache"))
+    base = cpu_baseline_msps()  # cached file read; no JAX needed
+    log("importing jax")
     import jax
     import jax.numpy as jnp
     import numpy as np
+    jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     from waveletsext_tpu.transforms.dwt import wpt
@@ -58,37 +77,33 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
 
-    # NOTE: on this backend block_until_ready can return before remote
-    # completion and host fetches pay a slow tunnel transfer, so: chain k
-    # transform applications inside ONE jitted fori_loop (wpt is shape- and
-    # norm-preserving), return a scalar, force completion by fetching it, and
-    # take the slope between two k values to cancel constant dispatch +
-    # transfer overhead.
-    def chain(k):
-        def f(a):
-            out = jax.lax.fori_loop(
-                0, k, lambda i, v: wpt(v, "db4", L), a)
-            return jnp.sum(out[0])
-        return jax.jit(f)
+    @jax.jit
+    def chain(a, k):  # k traced -> ONE executable for every k
+        out = jax.lax.fori_loop(0, k, lambda i, v: wpt(v, "db4", L), a)
+        return jnp.sum(out[0])
+
+    log(f"device={jax.devices()[0]}; compiling chain (B={B}, n={n}, L={L})")
+    t0 = time.perf_counter()
+    float(chain(x, jnp.int32(1)))  # compile + warm (single program)
+    log(f"compiled+warm in {time.perf_counter() - t0:.1f}s")
 
     k_lo, k_hi = max(2, iters // 4), iters
-    f_lo, f_hi = chain(k_lo), chain(k_hi)
-    float(f_lo(x)); float(f_hi(x))  # compile + warm
 
-    def timed(f, reps=3):
+    def timed(k, reps=3):
+        kk = jnp.int32(k)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(x))
+            float(chain(x, kk))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(f_lo), timed(f_hi)
+    timed(k_lo, reps=1)  # warm the k_lo dispatch path
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
     dt = (t_hi - t_lo) / (k_hi - k_lo)  # secs per wpt application
     msps = B * n / dt / 1e6
-    iters = k_hi
+    log(f"t_lo={t_lo:.4f}s t_hi={t_hi:.4f}s -> {msps:.0f} Msps")
 
-    base = cpu_baseline_msps()
     rec = {
         "metric": "wpt_msamples_per_s_per_chip",
         "value": round(msps, 2),
@@ -98,7 +113,7 @@ def main():
     detail = {
         **rec,
         "config": {"B": B, "n": n, "L": L, "wavelet": "db4",
-                   "dtype": "float32", "iters": iters},
+                   "dtype": "float32", "iters": k_hi},
         "cpu_baseline_msamples_per_s": base,
         "device": str(jax.devices()[0]),
         "secs": dt,

@@ -52,6 +52,38 @@ def test_tfbdry2_partition_covers():
     assert area == 64
 
 
+def test_ssim_golden():
+    """Pin SSIM against an independent scipy.ndimage implementation with
+    replicate ('nearest') borders — the ImageFiltering.jl Pad(:replicate)
+    default that ImageQualityIndexes (reference utils_metrics.jl:133-135)
+    filters with."""
+    from scipy import ndimage
+
+    rng = np.random.default_rng(7)
+    x0 = rng.random((24, 20))
+    x = np.clip(x0 + 0.1 * rng.standard_normal((24, 20)), 0, 1)
+
+    r = np.arange(11) - 5.0
+    g1 = np.exp(-(r ** 2) / (2 * 1.5 ** 2))
+    g1 /= g1.sum()
+    w = np.outer(g1, g1)
+
+    def smooth(a):
+        return ndimage.correlate(a, w, mode="nearest")
+
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    mx, my = smooth(x), smooth(x0)
+    sxx = smooth(x * x) - mx ** 2
+    syy = smooth(x0 * x0) - my ** 2
+    sxy = smooth(x * x0) - mx * my
+    want = np.mean(((2 * mx * my + C1) * (2 * sxy + C2))
+                   / ((mx ** 2 + my ** 2 + C1) * (sxx + syy + C2)))
+
+    got = float(wx.ssim(jnp.asarray(x), jnp.asarray(x0)))
+    assert np.isclose(got, want, atol=1e-6)
+    assert np.isclose(float(wx.ssim(jnp.asarray(x0), jnp.asarray(x0))), 1.0)
+
+
 def test_wiggle_data():
     wav = RNG.standard_normal((32, 3))
     traces = viz.wiggle_data(wav)

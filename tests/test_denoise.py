@@ -112,6 +112,32 @@ def test_threshold_determination_types():
     assert np.isfinite(float(dn.relerrorthreshold(xw, True, tree)))
 
 
+def test_surethreshold_decimated_tree_ignored():
+    """Pin the reference convention (Denoising.jl:149-157): for decimated
+    input (redundant=False) surethreshold ignores the tree — ``y = coef`` —
+    because a length-n wpt output IS the basis-coefficient set for any tree.
+    Only redundant tables restrict to leaf rows."""
+    x = jnp.asarray(RNG.standard_normal(64))
+    xw = wx.wpt(x, "db4", wx.maketree(64, 3, "dwt"))
+    t_none = float(dn.surethreshold(xw, False, None))
+    t_tree = float(dn.surethreshold(xw, False, wx.maketree(64, 3, "dwt")))
+    assert t_none == t_tree
+    # redundant path DOES depend on the tree
+    xs = jnp.asarray(RNG.standard_normal((31, 64)))
+    full = float(dn.surethreshold(xs, True, wx.maketree(64, 4, "full")))
+    dwt_ = float(dn.surethreshold(xs, True, wx.maketree(64, 4, "dwt")))
+    assert full != dwt_
+
+
+def test_subsampled_sure_degenerate_subsample():
+    # subsample >= coefficient count must fall back to the exact selector,
+    # not divide by zero (ADVICE r1)
+    x = jnp.asarray(RNG.standard_normal(16))
+    t_big = float(dn.surethreshold(x, False, subsample=64))
+    t_exact = float(dn.surethreshold(x, False))
+    assert t_big == t_exact
+
+
 def test_subsampled_sure_near_exact():
     # subsample=s estimates the SURE risk from every s-th coefficient; the
     # risk of its chosen threshold must be within a few percent of the exact

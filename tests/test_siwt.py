@@ -87,3 +87,78 @@ def test_reconstruction_full_no_prune():
     obj = siwt.siwpd(x, "db4", 3, 1)
     siwt.bestbasistree(obj)
     assert np.allclose(siwt.isiwpd(obj), x)
+
+
+# ---------------------------------------------------------------------------
+# Dense batched path (transforms/siwt_dense.py)
+# ---------------------------------------------------------------------------
+
+from waveletsext_tpu.transforms import siwt_dense
+
+
+@pytest.mark.parametrize("L,d", [(3, 3), (3, 1), (4, 2)])
+def test_dense_node_set_matches_object(L, d):
+    """The static (depth, shift) validity masks must generate exactly the
+    reference recursion's node set (SIWT.jl:93-136)."""
+    x = jnp.asarray(np.random.default_rng(9).standard_normal(16))
+    obj = siwt.siwpd(x, "haar", L, d)
+    valid, _ = siwt_dense.shift_masks(L, d)
+    expect = {(dd, b, s)
+              for dd in range(L + 1)
+              for b in range(1 << dd)
+              for s in np.nonzero(valid[dd])[0].tolist()}
+    assert set(obj.nodes.keys()) == expect
+
+
+@pytest.mark.parametrize("wt", ["haar", "db4"])
+def test_dense_bestbasis_matches_object_path(wt):
+    """Dense 3-way min sweep == host dict selection: same min cost and the
+    same reconstruction."""
+    rng = np.random.default_rng(77)
+    x = jnp.asarray(rng.standard_normal(16))
+    obj = siwt.siwpd(x, wt, 4, 4)
+    siwt.bestbasistree(obj)
+
+    vals, costs = siwt_dense.siwpd_dense(x, wt, 4, 4)
+    decisions, mincost = siwt_dense.bestbasis_dense(costs, 4, 4)
+    assert float(mincost) == pytest.approx(obj.min_cost, rel=1e-6)
+    rec = siwt_dense.isiwpd_dense(vals, decisions, wt)
+    assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-6)
+
+
+def test_dense_batch_matches_single():
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.standard_normal((5, 16)))
+    vals, costs = siwt_dense.siwpd_dense(X, "db4", 3, 3)
+    for i in range(5):
+        vi, ci = siwt_dense.siwpd_dense(X[i], "db4", 3, 3)
+        for d in range(4):
+            assert np.allclose(np.asarray(vals[d][i]), np.asarray(vi[d]),
+                               atol=1e-10)
+            assert np.allclose(np.asarray(costs[d][i]), np.asarray(ci[d]),
+                               atol=1e-10)
+
+
+def test_dense_pipeline_roundtrip_and_threshold():
+    rng = np.random.default_rng(12)
+    X = jnp.asarray(rng.standard_normal((3, 32)))
+    rec, mincost = siwt_dense.siwt_bestbasis_pipeline(X, "db4")
+    assert np.allclose(np.asarray(rec), np.asarray(X), atol=1e-6)
+    assert mincost.shape == (3,)
+    # thresholding at t=0 is a no-op; huge t zeroes the signal
+    rec0, _ = siwt_dense.siwt_bestbasis_pipeline(X, "db4", t=0.0)
+    assert np.allclose(np.asarray(rec0), np.asarray(X), atol=1e-6)
+    recinf, _ = siwt_dense.siwt_bestbasis_pipeline(X, "db4", t=1e9)
+    assert np.allclose(np.asarray(recinf), 0.0)
+
+
+def test_dense_golden_costs():
+    """Same goldens as test_golden_costs, via the dense path."""
+    vals, costs = siwt_dense.siwpd_dense(SIGNAL, "haar", 1, 1)
+    assert float(costs[0][0, 0]) == pytest.approx(1.208, abs=1e-3)
+    assert float(costs[1][0, 0]) == pytest.approx(0.382, abs=1e-3)
+    assert float(costs[1][0, 1]) == pytest.approx(0.402, abs=1e-3)
+    assert float(costs[1][1, 0]) == pytest.approx(0.259, abs=1e-3)
+    assert float(costs[1][1, 1]) == pytest.approx(0.566, abs=1e-3)
+    _, mincost = siwt_dense.bestbasis_dense(costs, 1, 1)
+    assert float(mincost) == pytest.approx(0.641, abs=1e-3)

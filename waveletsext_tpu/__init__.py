@@ -40,6 +40,8 @@ from .wavemult import (ns_dwt, ns_idwt, sft, isft, stretchmatrix, ndyad,
                        nonstd_wavemult, std_wavemult)
 from .transforms.siwt import (SiwtNode, SiwtObject, siwpd, isiwpd,
                               bestbasistree as siwt_bestbasistree)
+from .transforms.siwt_dense import (siwpd_dense, bestbasis_dense,
+                                    isiwpd_dense, siwt_bestbasis_pipeline)
 from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
                   Signatures, AsymmetricRelativeEntropy,
                   SymmetricRelativeEntropy, HellingerDistance, LpDistance,

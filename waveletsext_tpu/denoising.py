@@ -106,7 +106,14 @@ def sureshrink(xw, redundant: bool = False, tree=None, th=HardTH(),
 
 def _relevant_coefs(coef, redundant, tree):
     """Flatten the coefficients a threshold selector should look at
-    (Denoising.jl:149-157, :287-295)."""
+    (Denoising.jl:149-157, :287-295).
+
+    Pinned to the reference source: for ``redundant=False`` (dwt/wpt input)
+    the tree is *ignored* — Denoising.jl:151 is literally ``y = coef`` —
+    because a decimated wpt output of length n IS the basis-coefficient set
+    for any tree.  Only the redundant all-node tables (swpd/acwpd) restrict
+    to the tree's leaf rows (Denoising.jl:155-157).  Tested in
+    tests/test_denoise.py::test_surethreshold_decimated_tree_ignored."""
     if not redundant:
         return coef.reshape(*coef.shape[:-1], -1) if coef.ndim else coef
     if tree is None:
@@ -140,12 +147,18 @@ def surethreshold(coef, redundant: bool = False, tree=None,
     """
     y = _relevant_coefs(coef, redundant, tree)
     n = y.shape[-1]
+    if subsample >= n:  # degenerate: fall back to the exact formulation
+        subsample = 1
     a2full = jnp.abs(y) ** 2
     a2 = a2full
     if subsample > 1:
         m = (n // subsample) * subsample
+        # middle phase of each stride-s block: a systematic phase-0 sample
+        # can alias with structured layouts (per-level positions in a
+        # flattened sdwt table); the mid phase decorrelates it from block
+        # boundaries.  Trailing-reshape select, never a strided slice.
         a2 = a2[..., :m].reshape(*a2.shape[:-1], m // subsample,
-                                 subsample)[..., 0]
+                                 subsample)[..., subsample // 2]
     m = a2.shape[-1]
     scale = n / m
     a = jnp.sort(a2, axis=-1)

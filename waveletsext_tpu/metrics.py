@@ -44,11 +44,18 @@ def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _filter2_same_1d(img, w, axis):
-    """'same' correlation along one axis with zero padding (separable window)."""
+    """'same' correlation along one axis with edge-replicate padding
+    (separable window).
+
+    Replicate matches the reference convention: utils_metrics.jl:133-135
+    delegates to ImageQualityIndexes.assess_ssim, whose filtering goes
+    through ImageFiltering.imfilter with its documented default border
+    ``Pad(:replicate)``.  Pinned against an independent scipy.ndimage
+    implementation in tests/test_aux.py::test_ssim_golden."""
     k = len(w)
     pad = [(0, 0)] * img.ndim
     pad[axis] = (k // 2, k - 1 - k // 2)
-    xp = jnp.pad(img, pad)
+    xp = jnp.pad(img, pad, mode="edge")
     out = None
     for t in range(k):
         sl = jax.lax.slice_in_dim(xp, t, t + img.shape[axis], axis=axis)

@@ -158,46 +158,17 @@ class SiwtObject:
         return True
 
 
-def _sidwt_expand(obj: SiwtObject, key, shifted: bool, nrm):
-    """One decomposition step creating both children
-    (siwt_one_level.jl:24-50)."""
-    node = obj.nodes[key]
-    d, b, s = key
-    w1, w2 = _sidwt_step(node.value, obj.wavelet.name, int(shifted))
-    cs = s + ((1 << d) if shifted else 0)
-    c1 = make_node(w1, d + 1, b << 1, cs, nrm)
-    c2 = make_node(w2, d + 1, (b << 1) + 1, cs, nrm)
-    obj.nodes[c1.key] = c1
-    obj.nodes[c2.key] = c2
-    obj.best_tree.append(c1.key)
-    obj.best_tree.append(c2.key)
-    return c1.key, c2.key
-
-
-def _siwpd_subtree(obj: SiwtObject, key, rd: int, nrm):
-    """(SIWT.jl:93-136)  rd = remaining relative depth for shifted
-    transforms."""
-    L = obj.max_transform_level
-    d, _, s = key
-    assert 0 <= d <= L
-    assert 0 <= rd <= L - d
-    is_leaf = d == L
-    needs_shift = rd > 0
-    is_shifted_node = s > 0
-    if is_leaf or (not needs_shift and is_shifted_node):
-        return
-    c1, c2 = _sidwt_expand(obj, key, False, nrm)
-    child_rd = rd - 1 if is_shifted_node else min(rd, L - (d + 1))
-    _siwpd_subtree(obj, c1, child_rd, nrm)
-    _siwpd_subtree(obj, c2, child_rd, nrm)
-    if needs_shift:
-        c1, c2 = _sidwt_expand(obj, key, True, nrm)
-        _siwpd_subtree(obj, c1, rd - 1, nrm)
-        _siwpd_subtree(obj, c2, rd - 1, nrm)
-
-
 def siwpd(x, wt, L: int | None = None, d: int | None = None) -> SiwtObject:
-    """Shift-invariant WPD (SIWT.jl:57-70)."""
+    """Shift-invariant WPD (SIWT.jl:57-70).
+
+    The node set is computed by the dense masked level sweep
+    (transforms/siwt_dense.py) in ONE jitted program — the reference's
+    per-node recursion (SIWT.jl:93-136) would cost one device dispatch per
+    node.  The host object holds the same ``(depth, index, shift) -> node``
+    dict as the reference (siwt_utls.jl:82-96), populated from the fetched
+    dense arrays; batched work should use :mod:`.siwt_dense` directly.
+    """
+    from . import siwt_dense
     x = jnp.asarray(x)
     n = x.shape[-1]
     L = maxtransformlevels(n) if L is None else L
@@ -205,8 +176,17 @@ def siwpd(x, wt, L: int | None = None, d: int | None = None) -> SiwtObject:
     assert 0 <= L <= maxtransformlevels(n)
     assert 1 <= d <= L
     obj = SiwtObject(x, wt, L, d)
-    nrm = jnp.linalg.norm(x)
-    _siwpd_subtree(obj, (0, 0, 0), d, nrm)
+    vals, costs = siwt_dense.siwpd_dense(x, obj.wavelet, L, d)
+    valid, _ = siwt_dense.shift_masks(L, d)
+    for dd in range(1, L + 1):
+        vnp = np.asarray(vals[dd])
+        cnp = np.asarray(costs[dd])
+        for b in range(1 << dd):
+            for s in np.nonzero(valid[dd])[0]:
+                node = SiwtNode(dd, int(b), int(s), float(cnp[b, s]),
+                                vnp[b, s])
+                obj.nodes[node.key] = node
+                obj.best_tree.append(node.key)
     return obj
 
 
