@@ -122,3 +122,43 @@ def test_sharded_bestbasis_pipeline_matches_single():
     tree_1, coefs_1 = wx.bestbasis_pipeline(x, "db4", 6)
     assert np.array_equal(np.asarray(tree_s), np.asarray(tree_1))
     assert np.allclose(np.asarray(coefs_s), np.asarray(coefs_1), atol=1e-12)
+
+
+@pytest.mark.parametrize("force", ["halo", "cosets", None])
+def test_cp_sdwt_matches_single(force):
+    """Position-sharded a-trous SWT == single-device sdwt, via both the
+    ring-halo path and the explicit position->coset all_to_all fallback
+    (``force='cosets'`` takes the all_to_all route at every level where a
+    whole-coset layout exists, i.e. dilation >= n_shards)."""
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    n, L = 512, 5  # n_loc=128; deepest halo (F-1)*16 = 112 <= 128
+    x = jnp.asarray(RNG.standard_normal((3, n)))
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    got = cp.sdwt_cp(xs, "db4", L, mesh, force=force)
+    ref = wx.sdwt(x, "db4", L)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10), force
+
+
+def test_cp_sdwt_auto_uses_cosets_when_halo_too_big():
+    """Deep levels where the halo would exceed the shard must still match
+    (the automatic rule switches to the all_to_all path)."""
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("dp", "sp"))
+    n, L = 512, 6  # n_loc=64; depth 5: halo 7*32=224 >> 64
+    x = jnp.asarray(RNG.standard_normal((2, n)))
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    got = cp.sdwt_cp(xs, "db4", L, mesh)
+    ref = wx.sdwt(x, "db4", L)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def test_cp_swpd_matches_single():
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    n, L = 128, 4
+    x = jnp.asarray(RNG.standard_normal((2, n)))
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    got = cp.swpd_cp(xs, "db4", L, mesh)
+    ref = wx.swpd(x, "db4", L)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)

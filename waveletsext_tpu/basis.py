@@ -182,34 +182,38 @@ def _zorder_perm(d: int) -> np.ndarray:
     return perm
 
 
+def _level_costs_1d(lvl, d: int, cost, nrm=None):
+    """Costs of the 2^d nodes of one packed level plane ``(n[, extra])``.
+    ``extra`` trailing axes (e.g. batch for LSDB) fold into the reduction."""
+    n = lvl.shape[0]
+    blocks = lvl.reshape((1 << d, n >> d) + lvl.shape[1:])
+    return jax.vmap(lambda b: coefcost(b, cost, nrm))(blocks)
+
+
+def _level_costs_2d(lvl, d: int, cost, nrm=None):
+    """Costs of the 4^d quadtree nodes of one level plane ``(n, m[, extra])``
+    in Z-order (child-index) node order."""
+    n, m = lvl.shape[0], lvl.shape[1]
+    g = 1 << d
+    bn, bm = n // g, m // g
+    blocks = lvl.reshape((g, bn, g, bm) + lvl.shape[2:])
+    blocks = jnp.moveaxis(blocks, 2, 1)  # (g, g, bn, bm, ...)
+    blocks = blocks.reshape((g * g, bn, bm) + lvl.shape[2:])
+    costs = jax.vmap(lambda b: coefcost(b, cost, nrm))(blocks)
+    return costs[_zorder_perm(d)]
+
+
 def _per_node_costs_1d(sig, cost, nrm=None):
     """Costs of every node of a level stack ``(L+1, n[, extra])`` in 1-based
-    node order.  ``extra`` trailing axes (e.g. batch for LSDB) are folded into
-    the cost reduction."""
-    Lp1, n = sig.shape[0], sig.shape[1]
-    out = []
-    for d in range(Lp1):
-        lvl = sig[d]
-        blocks = lvl.reshape((1 << d, n >> d) + lvl.shape[1:])
-        costs = jax.vmap(lambda b: coefcost(b, cost, nrm))(blocks)
-        out.append(costs)
-    return jnp.concatenate(out)
+    node order."""
+    return jnp.concatenate([
+        _level_costs_1d(sig[d], d, cost, nrm) for d in range(sig.shape[0])])
 
 
 def _per_node_costs_2d(sig, cost, nrm=None):
     """Costs of every quadtree node of ``(L+1, n, m[, extra])``."""
-    Lp1, n, m = sig.shape[0], sig.shape[1], sig.shape[2]
-    out = []
-    for d in range(Lp1):
-        lvl = sig[d]
-        g = 1 << d
-        bn, bm = n // g, m // g
-        blocks = lvl.reshape((g, bn, g, bm) + lvl.shape[2:])
-        blocks = jnp.moveaxis(blocks, 2, 1)  # (g, g, bn, bm, ...)
-        blocks = blocks.reshape((g * g, bn, bm) + lvl.shape[2:])
-        costs = jax.vmap(lambda b: coefcost(b, cost, nrm))(blocks)
-        out.append(costs[_zorder_perm(d)])
-    return jnp.concatenate(out)
+    return jnp.concatenate([
+        _level_costs_2d(sig[d], d, cost, nrm) for d in range(sig.shape[0])])
 
 
 def _redundant_node_costs(table, cost, nrm=None, quad=False):
@@ -441,39 +445,104 @@ def bestbasis_treeselection_dev(costs, n: int, m: int | None = None,
     return tree.reshape(lead + (nt,))
 
 
+# --- streaming (stack-free) fused pipelines --------------------------------
+#
+# wpd/wpd2 materialize the whole (L+1, n[, m]) level stack in HBM before any
+# cost touches it.  The fused pipelines instead stream: sweep 1 walks the
+# packet levels keeping ONLY the current plane, folding each level's cost
+# reduction in as it goes; after CW selection, sweep 2 re-walks the levels
+# and accumulates the leaf-masked extraction.  Levels are recomputed (flops
+# are free next to HBM traffic for filtlen<=20 filters) but the stack is
+# never written — worth >2x on the 2-D JBB pipeline where the stack is
+# (L+1)*n*m per image.
+
+def _stream_costs(x, wtname, L: int, method, is2d: bool):
+    """Per-node cost vector computed level-by-level without a stack.
+
+    JBB: batch moments per level (bestbasis_tree.jl:150-207).  LSDB: batch
+    coefficients fold into the per-coordinate ASH entropy (:104-147).
+    BB: per-signal costs -> (N, k) (:210-256)."""
+    from .transforms.dwt import _wpt_level_fwd, _wpt_level_fwd2, _wt as _dwt_wt
+    w = _dwt_wt(wtname)
+    step = _wpt_level_fwd2 if is2d else _wpt_level_fwd
+    level_costs = _level_costs_2d if is2d else _level_costs_1d
+    per_signal = isinstance(method, BB)
+    if per_signal:
+        nrm = jnp.sqrt(jnp.sum(x.reshape(x.shape[0], -1) ** 2, axis=-1))
+    cur = x
+    out = []
+    for d in range(L + 1):
+        if isinstance(method, JBB):
+            EX = jnp.mean(cur, axis=0)
+            EX2 = jnp.mean(cur ** 2, axis=0)
+            plane = jnp.sqrt(jnp.maximum(EX2 - EX ** 2, 0.0))
+            out.append(level_costs(plane, d, method.cost))
+        elif isinstance(method, LSDB):
+            plane = jnp.moveaxis(cur, 0, -1)  # sample axis last
+            out.append(level_costs(plane, d, method.cost))
+        else:  # BB, batched per-signal -> (N, 2^d) per level
+            out.append(jax.vmap(
+                lambda s, r: level_costs(s, d, method.cost, r))(cur, nrm))
+        if d < L:
+            cur = step(cur, d, w.lo, w.hi)
+    return jnp.concatenate(out, axis=-1)
+
+
+def _stream_extract(x, wtname, L: int, tree, is2d: bool):
+    """Basis-coefficient extraction by re-walking the levels: the leaf-depth
+    map turns the tree into a per-position level selector; each level plane
+    contributes only its leaf positions."""
+    from .transforms.dwt import _wpt_level_fwd, _wpt_level_fwd2, _wt as _dwt_wt
+    from .utils import leaf_level_map_dyn, leaf_level_map2_dyn
+    w = _dwt_wt(wtname)
+    if is2d:
+        n, m = x.shape[-2:]
+        lvl = leaf_level_map2_dyn(tree, n, m)
+        step = _wpt_level_fwd2
+    else:
+        lvl = leaf_level_map_dyn(tree, x.shape[-1])
+        step = _wpt_level_fwd
+    cur = x
+    acc = jnp.zeros_like(x)
+    for d in range(L + 1):
+        acc = acc + jnp.where(lvl == d, cur, 0.0)
+        if d < L:
+            cur = step(cur, d, w.lo, w.hi)
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
 def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     """The fused §3.1 "training" loop: batch WPD -> per-node costs -> CW
     selection -> basis-coefficient extraction, one XLA program end to end
     (the reference runs this as four serial host phases,
     BestBasis.jl:185-217 + Utils.jl:169-202).  Returns ``(tree, coefs)``
-    with the tree still on device."""
-    from .transforms.dwt import wpd, wpd2
-    from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
+    with the tree still on device.  Streams levels instead of materializing
+    the wpd stack (see above)."""
     method = JBB() if method is None else method
-    xw = wpd2(x, wt, L) if is2d else wpd(x, wt, L)
-    costs = tree_costs(xw, method, is2d)
     if is2d:
         n, m = x.shape[-2:]
-        tree = bestbasis_treeselection_dev(costs, n, m)
-        return tree, getbasiscoef2_dyn(xw, tree)
-    tree = bestbasis_treeselection_dev(costs, x.shape[-1])
-    return tree, getbasiscoef_dyn(xw, tree)
+        L = maxtransformlevels(min(n, m)) if L is None else L
+    else:
+        n, m = x.shape[-1], None
+        L = maxtransformlevels(n) if L is None else L
+    costs = _stream_costs(x, wt, L, method, is2d)
+    tree = bestbasis_treeselection_dev(costs, n, m)
+    return tree, _stream_extract(x, wt, L, tree, is2d)
 
 
 @functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
 def bestbasisall_pipeline(x, wt, L=None, method=None, is2d: bool = False):
-    """Fused per-signal best-basis: WPD -> vmapped BB costs -> batched CW
+    """Fused per-signal best-basis: streamed BB costs -> batched CW
     selection -> per-signal extraction, one program (reference:
     BestBasis.jl:253-262 looping signals on the host)."""
-    from .transforms.dwt import wpd, wpd2
-    from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
     method = BB() if method is None else method
-    xw = wpd2(x, wt, L) if is2d else wpd(x, wt, L)
-    costs = jax.vmap(lambda s: tree_costs(s, method, is2d))(xw)
     if is2d:
         n, m = x.shape[-2:]
-        trees = bestbasis_treeselection_dev(costs, n, m)
-        return trees, getbasiscoef2_dyn(xw, trees)
-    trees = bestbasis_treeselection_dev(costs, x.shape[-1])
-    return trees, getbasiscoef_dyn(xw, trees)
+        L = maxtransformlevels(min(n, m)) if L is None else L
+    else:
+        n, m = x.shape[-1], None
+        L = maxtransformlevels(n) if L is None else L
+    costs = _stream_costs(x, wt, L, method, is2d)
+    trees = bestbasis_treeselection_dev(costs, n, m)
+    return trees, _stream_extract(x, wt, L, trees, is2d)

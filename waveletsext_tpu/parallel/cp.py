@@ -122,6 +122,137 @@ def wpd_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp"):
     return fn(x)
 
 
+# ---------------------------------------------------------------------------
+# Redundant (a-trous / SWT) context parallelism
+#
+# One a-trous level at depth d reads a dilated window of span (F-1)*2^d, so:
+#   * shallow levels  ((F-1)*2^d << n_loc): ring halo exchange — two
+#     ppermutes moving (F-1)*2^d samples, periodic over the WHOLE signal
+#     (the full device ring), then a local dilated correlation;
+#   * deep levels ((F-1)*2^d ~ n_loc): the halo would copy most of the
+#     neighbor, so re-shard position -> coset with an explicit all_to_all
+#     (SURVEY §5's Ulysses-style fallback): depth d splits into 2^d
+#     independent stride-1 cosets of length n/2^d; each device takes 2^d/S
+#     whole cosets, filters them LOCALLY with zero halo (periodic within the
+#     coset), and an inverse all_to_all restores position sharding.
+# ---------------------------------------------------------------------------
+
+def _coset_reshard(xl, D: int, S: int, axis: str):
+    """Local position chunk (..., n_loc) -> this device's (..., D/S, n/D)
+    whole cosets, via one all_to_all.  Requires S <= D <= n_loc."""
+    n_loc = xl.shape[-1]
+    assert D % S == 0 and n_loc % D == 0, (D, S, n_loc)
+    xr = xl.reshape(*xl.shape[:-1], n_loc // D, S, D // S)
+    xr = jnp.moveaxis(xr, -2, 0)               # (S, ..., n_loc/D, D/S)
+    y = jax.lax.all_to_all(xr, axis, 0, 0)     # leading S = source device
+    y = jnp.moveaxis(y, 0, -3)                 # (..., S_src, n_loc/D, D/S)
+    y = y.reshape(*xl.shape[:-1], (n_loc // D) * S, D // S)  # (..., n/D, D/S)
+    return jnp.swapaxes(y, -1, -2)             # (..., D/S, n/D)
+
+
+def _coset_unshard(yl, D: int, S: int, axis: str):
+    """Inverse of :func:`_coset_reshard`: (..., D/S, n/D) -> (..., n_loc)."""
+    nD = yl.shape[-1]
+    n_loc = nD * D // S
+    y = jnp.swapaxes(yl, -1, -2)               # (..., n/D, D/S)
+    y = y.reshape(*y.shape[:-2], S, n_loc // D, D // S)
+    y = jnp.moveaxis(y, -3, 0)
+    x = jax.lax.all_to_all(y, axis, 0, 0)      # leading S = coset group
+    x = jnp.moveaxis(x, 0, -2)                 # (..., n_loc/D, S, D/S)
+    return x.reshape(*yl.shape[:-2], n_loc)
+
+
+def _atrous_level_cp(cur, d: int, S: int, lo, hi, axis: str,
+                     force: str | None = None):
+    """One position-sharded a-trous analysis level (conv.sdwt_step
+    conventions: w1[p] = sum_t lo[t] v[p + D(t-1)], w2 offset -(F-1)D).
+    Returns (w1_local, w2_local), both position-sharded like ``cur``."""
+    D = 1 << d
+    F = len(lo)
+    n_loc = cur.shape[-1]
+    halo_l, halo_r = D * (F - 1), D * (F - 2)
+    # the coset reshard needs whole cosets per device (S | D) and whole
+    # coset rows per position chunk (D | n_loc); shallow levels (D < S)
+    # always go through the halo path
+    can_coset = D % S == 0 and n_loc % D == 0
+    if force == "halo":
+        use_halo = True
+    elif force == "cosets":
+        use_halo = not can_coset
+    else:  # automatic: halo while it is small relative to the shard
+        use_halo = 2 * halo_l <= n_loc or not can_coset
+    if use_halo:
+        assert max(halo_l, halo_r) <= n_loc, "halo exceeds shard; use cosets"
+        ring_l = [(j, (j + 1) % S) for j in range(S)]   # send to right
+        ring_r = [(j, (j - 1) % S) for j in range(S)]   # send to left
+        parts = [jax.lax.ppermute(cur[..., n_loc - halo_l:], axis, ring_l),
+                 cur]
+        if halo_r:
+            parts.append(jax.lax.ppermute(cur[..., :halo_r], axis, ring_r))
+        ext = jnp.concatenate(parts, axis=-1)
+        w1 = conv.periodic_filter(ext, lo, stride=1, dilation=D,
+                                  offset=D * (F - 2))[..., :n_loc]
+        w2 = conv.periodic_filter(ext, hi, stride=1, dilation=D,
+                                  offset=0)[..., :n_loc]
+        return w1, w2
+    # explicit all_to_all coset path
+    cos = _coset_reshard(cur, D, S, axis)      # (..., D/S, n/D) full cosets
+    w1c = conv._circ_correlate(cos, lo, -1)
+    w2c = conv._circ_correlate(cos, hi, -(F - 1))
+    return (_coset_unshard(w1c, D, S, axis),
+            _coset_unshard(w2c, D, S, axis))
+
+
+def sdwt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
+            force: str | None = None):
+    """Position-sharded stationary DWT -> (..., L+1, n) stack (slot 0 =
+    coarsest approx, transforms/swt.py layout), signal axis sharded over
+    ``axis``.  ``force`` in {None, 'halo', 'cosets'} pins the per-level
+    strategy (None = automatic by halo-to-shard ratio)."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    lead = len(x.shape) - 1
+    in_spec = P(*([None] * lead), axis)
+    out_spec = P(*([None] * lead), None, axis)
+
+    def inner(xl):
+        cur = xl
+        details = []
+        for d in range(L):
+            cur, w2 = _atrous_level_cp(cur, d, S, w.lo, w.hi, axis, force)
+            details.append(w2)
+        return jnp.stack([cur] + details[::-1], axis=-2)
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
+def swpd_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
+            force: str | None = None):
+    """Position-sharded stationary WPD -> all-node table
+    (..., 2^(L+1)-1, n) (transforms/swt.py swpd layout: 1-based node i at
+    slot i-1)."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    lead = len(x.shape) - 1
+    in_spec = P(*([None] * lead), axis)
+    out_spec = P(*([None] * lead), None, axis)
+
+    def inner(xl):
+        slots = [xl]
+        for d in range(L):
+            nxt = []
+            for node in slots[-(1 << d):]:
+                w1, w2 = _atrous_level_cp(node, d, S, w.lo, w.hi, axis,
+                                          force)
+                nxt.extend([w1, w2])
+            slots.extend(nxt)
+        return jnp.stack(slots, axis=-2)
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
 @functools.partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis"))
 def wpt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp"):
     """Signal-axis-sharded WPT (leaf slice only)."""
