@@ -99,6 +99,12 @@ def main():
         return best
 
     timed(k_lo, reps=1)  # warm the k_lo dispatch path
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    if prof_dir:  # capture one profiled application (jax.profiler trace)
+        from waveletsext_tpu.observability import profile_trace
+        with profile_trace(prof_dir):
+            float(chain(x, jnp.int32(1)))
+        log(f"profiler trace written to {prof_dir}")
     t_lo, t_hi = timed(k_lo), timed(k_hi)
     dt = (t_hi - t_lo) / (k_hi - k_lo)  # secs per wpt application
     msps = B * n / dt / 1e6

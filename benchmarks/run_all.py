@@ -5,7 +5,9 @@ Timing method: chain k applications inside one jitted fori_loop, fetch a
 scalar, take the slope between two k values (cancels dispatch + tunnel
 overhead; see CLAUDE.md).  Writes benchmarks/all_results.json.
 
-Usage: python benchmarks/run_all.py [--quick]
+Usage: python benchmarks/run_all.py [--quick] [--profile]
+  --profile: capture a jax.profiler trace of the benchmark body into
+  benchmarks/traces/ (TensorBoard/XProf format).
 """
 
 import json
@@ -31,6 +33,7 @@ from waveletsext_tpu import denoising as dn
 from waveletsext_tpu import ldb as ldb_mod
 
 QUICK = "--quick" in sys.argv
+PROFILE = "--profile" in sys.argv
 RESULTS = {}
 
 
@@ -233,4 +236,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if PROFILE:
+        from waveletsext_tpu.observability import profile_trace
+        tdir = pathlib.Path(__file__).parent / "traces"
+        with profile_trace(tdir):
+            main()
+        print(f"profiler trace written to {tdir}")
+    else:
+        main()

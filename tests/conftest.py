@@ -28,3 +28,8 @@ jax.config.update("jax_enable_x64", True)
 # environment (remote compile service); cache executables across runs.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+# NaN sanitizer test mode (SURVEY §5): WAVELETSEXT_DEBUG_NANS=1 makes every
+# NaN produced inside a jitted program raise at the producing primitive.
+if os.environ.get("WAVELETSEXT_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)

@@ -52,6 +52,50 @@ def test_tfbdry2_partition_covers():
     assert area == 64
 
 
+def test_profile_trace_artifact(tmp_path):
+    """The profiler hook must produce a real trace directory (SURVEY §5)."""
+    from waveletsext_tpu.observability import profile_trace, annotate
+    import jax
+
+    with profile_trace(tmp_path / "tr") as d:
+        with annotate("wpd-smoke"):
+            jax.block_until_ready(wx.wpd(jnp.ones((2, 32)), "haar", 3))
+    files = list((tmp_path / "tr").rglob("*"))
+    assert any(f.is_file() for f in files), files
+
+
+def test_debug_nans_mode_raises():
+    """jax_debug_nans must surface a NaN produced inside a jitted program."""
+    import jax
+    from waveletsext_tpu.observability import enable_debug_nans
+    enable_debug_nans(True)
+    try:
+        with np.testing.assert_raises(Exception):
+            jax.block_until_ready(
+                jax.jit(lambda a: jnp.log(a) * 0 + jnp.sqrt(a))(
+                    jnp.asarray([-1.0])))
+    finally:
+        enable_debug_nans(False)
+
+
+def test_set_matmul_precision_retraces():
+    """Changing the MXU precision after first use must re-trace (the
+    apijit dispatch keys on it), not silently reuse stale programs."""
+    from waveletsext_tpu.kernels import conv
+    x = jnp.asarray(RNG.standard_normal(64))
+    wx.wpt(x, "db4", 3)
+    jits = wx.wpt.__jits__
+    n0 = len(jits)
+    old = conv.MATMUL_PRECISION
+    try:
+        conv.set_matmul_precision("default")
+        y = wx.wpt(x, "db4", 3)
+        assert len(jits) == n0 + 1  # new precision -> new jit instance
+        assert y.shape == x.shape
+    finally:
+        conv.MATMUL_PRECISION = old
+
+
 def test_ssim_golden():
     """Pin SSIM against an independent scipy.ndimage implementation with
     replicate ('nearest') borders — the ImageFiltering.jl Pad(:replicate)

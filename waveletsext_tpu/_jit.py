@@ -50,14 +50,25 @@ class StaticTree:
 
 def apijit(*static_names):
     """Wrap a function in jax.jit, making the named arguments static and
-    auto-converting numpy tree arrays among them to ``StaticTree``."""
+    auto-converting numpy tree arrays among them to ``StaticTree``.
+
+    The current MXU matmul precision (kernels/conv.MATMUL_PRECISION, a
+    process global set by ``set_matmul_precision``) is part of the dispatch
+    key: each precision value gets its own ``jax.jit`` instance, so changing
+    the precision after first use re-traces instead of silently reusing the
+    old programs."""
 
     def deco(fn):
         sig = inspect.signature(fn)
-        jf = jax.jit(fn, static_argnames=static_names)
+        jits = {}
 
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
+            from .kernels import conv
+            jf = jits.get(conv.MATMUL_PRECISION)
+            if jf is None:
+                jf = jits[conv.MATMUL_PRECISION] = jax.jit(
+                    fn, static_argnames=static_names)
             b = sig.bind(*args, **kwargs)
             b.apply_defaults()
             for name in static_names:
@@ -67,6 +78,7 @@ def apijit(*static_names):
             return jf(**b.arguments)
 
         wrapper.__wrapped_impl__ = fn
+        wrapper.__jits__ = jits
         return wrapper
 
     return deco
