@@ -68,3 +68,30 @@ def test_unknown_name():
         wavelet("nosuch3")
     with pytest.raises(ValueError):
         wavelet("db11")
+
+
+@pytest.mark.parametrize("N", [2, 4, 6])
+def test_battle_lemarie(N):
+    """Spectrally-constructed Battle-Lemarie: exact orthogonality across even
+    shifts, N vanishing moments, sum sqrt(2), and a symmetric bell shape."""
+    h = wavelet(f"batt{N}").lo
+    assert abs(h.sum() - np.sqrt(2)) < 1e-12
+    for m in range(len(h) // 2):
+        want = 1.0 if m == 0 else 0.0
+        assert abs(np.dot(h[: len(h) - 2 * m], h[2 * m:]) - want) < 1e-10, m
+    dc = wavelet(f"batt{N}").hi
+    i = np.arange(len(h), dtype=float)
+    for q in range(N):
+        assert abs(np.dot(dc, i ** q)) < 1e-8, q
+    # bell: the peak is near the center and tails decay
+    assert np.argmax(np.abs(h)) in range(len(h) // 2 - 2, len(h) // 2 + 3)
+    assert np.max(np.abs(h[:4])) < 1e-2 and np.max(np.abs(h[-4:])) < 1e-2
+
+
+def test_battle_lemarie_roundtrip():
+    import jax.numpy as jnp
+    import waveletsext_tpu as wx
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((2, 128)))
+    for name in ("batt2", "batt4", "batt6"):
+        y = wx.iwpt(wx.wpt(x, name, 3), name, 3)
+        assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-10), name

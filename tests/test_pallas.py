@@ -29,3 +29,23 @@ def test_pallas_matches_xla():
     # f64 reference through the XLA path (never uses pallas)
     ref = np.asarray(wpt(x.astype(jnp.float64), "db4", 8)).astype(np.float32)
     assert np.allclose(got, ref, atol=1e-3)
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU")
+def test_pallas_inverse_matches_xla():
+    from waveletsext_tpu.kernels.pallas_wpt import iwpt_pallas
+    from waveletsext_tpu.transforms.dwt import iwpt
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.standard_normal((64, 4096)).astype(np.float32))
+    got = np.asarray(iwpt_pallas(y, "db4", 8, 64))
+    ref = np.asarray(iwpt(y.astype(jnp.float64), "db4", 8)).astype(np.float32)
+    assert np.allclose(got, ref, atol=1e-3)
+
+
+@pytest.mark.skipif(not tpu, reason="needs TPU")
+def test_pallas_roundtrip():
+    from waveletsext_tpu.kernels.pallas_wpt import wpt_pallas, iwpt_pallas
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((64, 4096)).astype(np.float32))
+    rec = np.asarray(iwpt_pallas(wpt_pallas(x, "db4", 8, 64), "db4", 8, 64))
+    assert np.allclose(rec, np.asarray(x), atol=1e-3)

@@ -489,23 +489,36 @@ def _stream_costs(x, wtname, L: int, method, is2d: bool):
 
 
 def _stream_extract(x, wtname, L: int, tree, is2d: bool):
-    """Basis-coefficient extraction by re-walking the levels: the leaf-depth
-    map turns the tree into a per-position level selector; each level plane
-    contributes only its leaf positions."""
+    """Basis-coefficient extraction by re-walking the levels: per-depth
+    leaf masks (tiny, node-domain — utils.leaf_masks_dyn) select each level
+    plane's leaf blocks via a broadcast in the blocked view.  No int32
+    position map is ever materialized (its repeat chain was the single most
+    expensive op of the fused 2-D pipeline on TPU)."""
     from .transforms.dwt import _wpt_level_fwd, _wpt_level_fwd2, _wt as _dwt_wt
-    from .utils import leaf_level_map_dyn, leaf_level_map2_dyn
+    from .utils import leaf_masks_dyn, leaf_masks2_dyn
     w = _dwt_wt(wtname)
     if is2d:
         n, m = x.shape[-2:]
-        lvl = leaf_level_map2_dyn(tree, n, m)
+        masks = leaf_masks2_dyn(tree, L)
         step = _wpt_level_fwd2
     else:
-        lvl = leaf_level_map_dyn(tree, x.shape[-1])
+        n, m = x.shape[-1], None
+        masks = leaf_masks_dyn(tree, L)
         step = _wpt_level_fwd
+    lead = jnp.broadcast_shapes(x.shape[: -2 if is2d else -1],
+                                tree.shape[:-1])
+    acc = jnp.zeros(lead + x.shape[-2 if is2d else -1:], x.dtype)
     cur = x
-    acc = jnp.zeros_like(x)
     for d in range(L + 1):
-        acc = acc + jnp.where(lvl == d, cur, 0.0)
+        g = 1 << d
+        if is2d:
+            blk = cur.reshape(cur.shape[:-2] + (g, n >> d, g, m >> d))
+            sel = jnp.where(masks[d][..., :, None, :, None], blk, 0.0)
+            acc = acc + sel.reshape(sel.shape[:-4] + (n, m))
+        else:
+            blk = cur.reshape(cur.shape[:-1] + (g, n >> d))
+            sel = jnp.where(masks[d][..., :, None], blk, 0.0)
+            acc = acc + sel.reshape(sel.shape[:-2] + (n,))
         if d < L:
             cur = step(cur, d, w.lo, w.hi)
     return acc

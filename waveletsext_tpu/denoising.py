@@ -377,7 +377,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     batch; per-signal trees reconstruct in the same program.
     """
     from .basis import (tree_costs, bestbasis_treeselection_dev, JBB, BB)
-    from .utils import getbasiscoef_dyn, leaf_level_map_dyn
+    from .utils import getbasiscoef_dyn
     method = JBB() if method is None else method
     n = x.shape[-1]
     xw = _dwt_mod.wpd(x, wt, L)
@@ -397,9 +397,15 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     else:
         shrunk = jnp.where(jnp.abs(coefs) > t, coefs, 0.0)
     if smooth == "undersmooth":
-        # spare the coarsest scaling band: positions [0, n >> leaf_level(0))
-        lvl = leaf_level_map_dyn(tree, n)
-        band = (n >> lvl[..., :1])            # (..., 1) scaling-leaf length
+        # spare the coarsest scaling band: positions [0, n >> leaf_level(0)).
+        # position 0's leaf depth = run of marked left-spine nodes (static
+        # tiny gather; never materialize a per-position depth map)
+        D = int(np.log2(n))
+        spine_idx = np.array([(1 << d) - 1 for d in range(D)
+                              if (1 << d) - 1 < tree.shape[-1]])
+        spine = tree[..., spine_idx].astype(jnp.int32)
+        lvl0 = jnp.sum(jnp.cumprod(spine, axis=-1), axis=-1, keepdims=True)
+        band = (n >> lvl0)                    # (..., 1) scaling-leaf length
         pos = jnp.arange(n)
         shrunk = jnp.where(pos < band, coefs, shrunk)
     return _dwt_mod.iwpt_dyn(shrunk, wt, tree)

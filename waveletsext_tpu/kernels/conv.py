@@ -148,41 +148,55 @@ def analysis_step(v, lo: np.ndarray, hi: np.ndarray):
 
     Equals the reference ``dwt_step!`` (dwt_one_level.jl:79-107) with
     ``lo = scaling filter`` and ``hi`` its mirror (see filters.py).
-    Returns ``(w1, w2)`` of length n/2 each.
-
-    Small nodes dispatch to a dense per-node operator matmul (MXU path, see
-    kernels/operators.py); large nodes use the conv lowering.
-    """
-    L = len(lo)
+    Returns ``(w1, w2)`` of length n/2 each.  Dispatch (operator matmul vs
+    conv) lives in :func:`analysis_step_packed` — the single source of the
+    cutoff rule."""
     m = v.shape[-1]
+    out = analysis_step_packed(v, lo, hi)
+    return out[..., : m // 2], out[..., m // 2:]
+
+
+def analysis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray):
+    """Packed one-level analysis: node blocks ``(..., m)`` -> ``[w1 | w2]``
+    concatenated on the last axis ``(..., m)``.
+
+    This is THE place encoding the small-node cutoff rule (the per-node
+    (m, m) MXU operator matmul at or below ``operators.MATMUL_CUTOFF``, the
+    conv lowering above it) — the wpt/wpd level sweeps call this directly so
+    the packed layout skips a split/concat round-trip, and
+    :func:`analysis_step` slices it for the (w1, w2) interface."""
+    m = nodes.shape[-1]
     if m <= _ops.MATMUL_CUTOFF:
         A = jnp.asarray(_ops.analysis_operator(_ops.taps_key(lo, hi), m),
-                        v.dtype)
-        out = jnp.matmul(v, A, precision=MATMUL_PRECISION)
-        return out[..., : m // 2], out[..., m // 2:]
-    w1 = _even(_window_correlate(v, lo, 0))
-    w2 = _even(_window_correlate(v, hi, 2 - L))
-    return w1, w2
+                        nodes.dtype)
+        return jnp.matmul(nodes, A, precision=MATMUL_PRECISION)
+    L = len(lo)
+    w1 = _even(_window_correlate(nodes, lo, 0))
+    w2 = _even(_window_correlate(nodes, hi, 2 - L))
+    return jnp.concatenate([w1, w2], axis=-1)
 
 
-def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
-    """Inverse of :func:`analysis_step` (dwt_one_level.jl:192-223), expressed
-    in polyphase form:
+def synthesis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray):
+    """Inverse of :func:`analysis_step_packed`: ``[w1 | w2]`` -> parent.
+    Single source of the synthesis cutoff dispatch."""
+    m = nodes.shape[-1]
+    if m <= _ops.MATMUL_CUTOFF:
+        S = jnp.asarray(_ops.synthesis_operator(_ops.taps_key(lo, hi), m),
+                        nodes.dtype)
+        return jnp.matmul(nodes, S, precision=MATMUL_PRECISION)
+    half = m // 2
+    return _synthesis_conv(nodes[..., :half], nodes[..., half:], lo, hi)
+
+
+def _synthesis_conv(w1, w2, lo: np.ndarray, hi: np.ndarray):
+    """Polyphase conv synthesis:
 
         v[j] = sum_t lo[t]*u1[(j-t) % n] + sum_s hi[s]*u2[(j-s+L-2) % n]
 
     with u1/u2 the zero-stuffed upsamplings of w1/w2.  Splitting j and the tap
-    indices by parity gives two plain circular correlations per branch.
-    Small nodes use the dense synthesis operator (MXU matmul).
-    """
+    indices by parity gives two plain circular correlations per branch."""
     L = len(lo)
     half = w1.shape[-1]
-    if 2 * half <= _ops.MATMUL_CUTOFF:
-        S = jnp.asarray(
-            _ops.synthesis_operator(_ops.taps_key(lo, hi), 2 * half),
-            w1.dtype)
-        return jnp.matmul(jnp.concatenate([w1, w2], axis=-1), S,
-                          precision=MATMUL_PRECISION)
     outs = []
     for e in (0, 1):
         lo_e = np.asarray(lo[e::2])
@@ -192,8 +206,17 @@ def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
         ve = ve + _window_correlate(w2, hi_e[::-1],
                                     L // 2 - 1 - (len(hi_e) - 1))
         outs.append(ve)
-    v = jnp.stack(outs, axis=-1).reshape(*w1.shape[:-1], 2 * half)
-    return v
+    return jnp.stack(outs, axis=-1).reshape(*w1.shape[:-1], 2 * half)
+
+
+def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
+    """Inverse of :func:`analysis_step` (dwt_one_level.jl:192-223).  Dispatch
+    lives in :func:`synthesis_step_packed`."""
+    half = w1.shape[-1]
+    if 2 * half <= _ops.MATMUL_CUTOFF:
+        return synthesis_step_packed(jnp.concatenate([w1, w2], axis=-1),
+                                     lo, hi)
+    return _synthesis_conv(w1, w2, lo, hi)
 
 
 # ---------------------------------------------------------------------------

@@ -49,6 +49,114 @@ def _node_level(node, lo, hi):
     return w1, w2
 
 
+def _sublane_correlate(w, taps, off: int):
+    """Stride-1 circular correlate on the sublane (first) axis:
+    out[j] = sum_t taps[t] * w[(j + t + off) % h]."""
+    h = w.shape[0]
+    F = len(taps)
+    lpad = max(0, -off)
+    rpad = max(0, off + F - 1)
+    parts = []
+    if lpad:
+        parts.append(w[h - lpad:])
+    parts.append(w)
+    if rpad:
+        parts.append(w[:rpad])
+    xall = jnp.concatenate(parts, axis=0) if len(parts) > 1 else w
+    acc = None
+    for t in range(F):
+        s = lpad + off + t
+        term = float(taps[t]) * xall[s: s + h]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _node_level_inv(node, lo, hi):
+    """(m, TB) packed [w1 | w2] node -> (m, TB) parent, signal on sublanes
+    (the polyphase synthesis of conv._synthesis_conv in sublane form)."""
+    m = node.shape[0]
+    F = len(lo)
+    h = m // 2
+    w1, w2 = node[:h], node[h:]
+    outs = []
+    for e in (0, 1):
+        lo_e = np.asarray(lo[e::2])[::-1]
+        hi_e = np.asarray(hi[e::2])[::-1]
+        ve = _sublane_correlate(w1, lo_e, -(len(lo_e) - 1))
+        ve = ve + _sublane_correlate(w2, hi_e, F // 2 - 1 - (len(hi_e) - 1))
+        outs.append(ve)
+    # interleave parities: (h, TB) x2 -> (h, 2, TB) -> (m, TB)
+    return jnp.stack(outs, axis=1).reshape(m, node.shape[1])
+
+
+def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi):
+    def kernel(y_ref, s_ref, x_ref):
+        cur = y_ref[:].T  # (n, TB), signal on sublanes
+        if shallow < L:
+            m0 = n >> shallow
+            st = s_ref[:]  # (m0, m0) = S^T
+            prec = _conv.MATMUL_PRECISION
+            if prec == jax.lax.Precision.HIGH:
+                prec = jax.lax.Precision.HIGHEST
+            pieces = []
+            for b in range(1 << shallow):
+                node = cur[b * m0:(b + 1) * m0]
+                pieces.append(jnp.dot(st, node,
+                                      preferred_element_type=node.dtype,
+                                      precision=prec))
+            cur = jnp.concatenate(pieces, axis=0)
+        for d in range(shallow - 1, -1, -1):
+            m = n >> d
+            outs = []
+            for b in range(1 << d):
+                outs.append(_node_level_inv(cur[b * m:(b + 1) * m], lo, hi))
+            cur = jnp.concatenate(outs, axis=0)
+        x_ref[:] = cur.T
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "block_b"))
+def iwpt_pallas(y, wt: str, L: int, block_b: int = 128):
+    """Fused 1-D inverse WPT (int levels) for (B, n) float32/bfloat16 on TPU
+    — the mirror of :func:`wpt_pallas`: one composed per-node synthesis
+    contraction on the MXU for the deep levels, then the shallow inverse
+    window levels on the VPU, one VMEM trip per batch tile."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    B, n = y.shape
+    cutoff = min(512, _ops.MATMUL_CUTOFF)
+    shallow = 0
+    while shallow < L and (n >> shallow) > cutoff:
+        shallow += 1
+    if shallow < L:
+        m0 = n >> shallow
+        S = _ops.composed_synthesis_operator(
+            _ops.taps_key(w.lo, w.hi), m0, L - shallow)
+        St = jnp.asarray(np.ascontiguousarray(S.T), y.dtype)
+    else:
+        St = jnp.zeros((8, 128), y.dtype)  # unused
+    tb = min(block_b, B)
+    assert B % tb == 0, (B, tb)
+    kernel = _make_kernel_inv(n, L, shallow, w.lo, w.hi)
+    flops = 2 * B * n * (len(w.lo) * 2 * shallow + (n >> shallow))
+    return pl.pallas_call(
+        kernel,
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(St.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tb, n), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=2 * B * n * y.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+    )(y, St)
+
+
 def _make_kernel(n: int, L: int, shallow: int, lo, hi):
     def kernel(x_ref, a_ref, y_ref):
         cur = x_ref[:].T  # (n, TB), signal on sublanes

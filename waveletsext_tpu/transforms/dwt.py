@@ -67,6 +67,22 @@ def _try_pallas_wpt(x, w, L: int):
     return out.reshape(*x.shape[:-1], n)
 
 
+def _try_pallas_iwpt(y, w, L: int):
+    """Mirror of :func:`_try_pallas_wpt` for the fused inverse kernel."""
+    n = y.shape[-1]
+    if (y.ndim < 2 or y.dtype not in (jnp.float32, jnp.bfloat16)
+            or n <= _kops.MATMUL_CUTOFF or (n >> L) < 2
+            or not _tpu_backend()):
+        return None
+    B = int(np.prod(y.shape[:-1]))
+    block = next((b for b in (128, 64, 32, 16, 8) if B % b == 0), None)
+    if block is None:
+        return None
+    from ..kernels.pallas_wpt import iwpt_pallas
+    out = iwpt_pallas(y.reshape(B, n), w.name, L, block)
+    return out.reshape(*y.shape[:-1], n)
+
+
 def _default_levels(n: int, L) -> int:
     L0 = maxtransformlevels(n)
     if L is None:
@@ -90,13 +106,7 @@ def _wpt_level_fwd(cur, d: int, lo, hi):
     n = cur.shape[-1]
     s = n >> d
     nodes = cur.reshape(*cur.shape[:-1], 1 << d, s)
-    if s <= _kops.MATMUL_CUTOFF:
-        A = jnp.asarray(_kops.analysis_operator(_kops.taps_key(lo, hi), s),
-                        cur.dtype)
-        out = jnp.matmul(nodes, A, precision=conv.MATMUL_PRECISION)
-        return out.reshape(*cur.shape[:-1], n)
-    w1, w2 = conv.analysis_step(nodes, lo, hi)
-    out = jnp.concatenate([w1, w2], axis=-1)  # [child_low | child_high] per node
+    out = conv.analysis_step_packed(nodes, lo, hi)  # [low | high] per node
     return out.reshape(*cur.shape[:-1], n)
 
 
@@ -105,13 +115,7 @@ def _wpt_level_inv(nxt, d: int, lo, hi):
     n = nxt.shape[-1]
     s = n >> d
     nodes = nxt.reshape(*nxt.shape[:-1], 1 << d, s)
-    if s <= _kops.MATMUL_CUTOFF:
-        S = jnp.asarray(_kops.synthesis_operator(_kops.taps_key(lo, hi), s),
-                        nxt.dtype)
-        v = jnp.matmul(nodes, S, precision=conv.MATMUL_PRECISION)
-        return v.reshape(*nxt.shape[:-1], n)
-    half = n >> (d + 1)
-    v = conv.synthesis_step(nodes[..., :half], nodes[..., half:], lo, hi)
+    v = conv.synthesis_step_packed(nodes, lo, hi)
     return v.reshape(*nxt.shape[:-1], n)
 
 
@@ -320,6 +324,9 @@ def iwpt(y, wt, tree_or_L=None):
     n = y.shape[-1]
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(n, None if tree_or_L is None else int(tree_or_L))
+        fused = _try_pallas_iwpt(y, w, L)
+        if fused is not None:
+            return fused
         # collapse the deep (small-node) levels into one composed synthesis
         # matmul per depth-dcut node, mirroring the forward fast path
         dcut = 0
