@@ -466,8 +466,13 @@ def iwpt_dyn(y, wt, tree):
     for d in range(depth - 1, -1, -1):
         merged = _wpt_level_inv(cur, d, w.lo, w.hi)
         marks = tree[..., (1 << d) - 1: (1 << (d + 1)) - 1]
-        posmask = jnp.repeat(marks, n >> d, axis=-1)
-        cur = jnp.where(posmask, merged, cur)
+        # select in the blocked node view: a jnp.repeat position mask lowers
+        # to scalar-path gathers on TPU (see utils.leaf_masks_dyn)
+        g, s = 1 << d, n >> d
+        mb = merged.reshape(merged.shape[:-1] + (g, s))
+        cb = jnp.broadcast_to(cur, merged.shape).reshape(
+            merged.shape[:-1] + (g, s))
+        cur = jnp.where(marks[..., :, None], mb, cb).reshape(merged.shape)
     return cur
 
 
@@ -485,8 +490,12 @@ def iwpt2_dyn(y, wt, tree):
         from ..basis import _zorder_perm
         inv = np.argsort(_zorder_perm(d))
         rm = marks[..., inv].reshape(*marks.shape[:-1], g, g)
-        posmask = jnp.repeat(jnp.repeat(rm, n // g, axis=-2), m // g, axis=-1)
-        cur = jnp.where(posmask, merged, cur)
+        bn, bm = n // g, m // g
+        blk = merged.shape[:-2] + (g, bn, g, bm)
+        mb = merged.reshape(blk)
+        cb = jnp.broadcast_to(cur, merged.shape).reshape(blk)
+        cur = jnp.where(rm[..., :, None, :, None], mb, cb).reshape(
+            merged.shape)
     return cur
 
 
