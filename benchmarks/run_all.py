@@ -38,22 +38,27 @@ RESULTS = {}
 
 
 def slope_time(fn, x, klo, khi, reps=3):
-    """Seconds per fn application (fn must be shape-preserving)."""
-    def chain(k):
-        def f(a):
-            out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), a)
-            return jnp.sum(jax.tree_util.tree_leaves(out)[0])
-        return jax.jit(f)
-    flo, fhi = chain(klo), chain(khi)
-    float(flo(x)); float(fhi(x))
-    def t(f):
+    """Seconds per fn application (fn must be shape-preserving).
+
+    ONE compiled program — k is a traced fori_loop bound (same executable
+    for both k values; see bench.py).  Pick khi so khi*dt clears the ~1 ms
+    tunnel timer noise, else the slope can come out negative."""
+    @jax.jit
+    def chain(a, k):
+        out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), a)
+        return jnp.sum(jax.tree_util.tree_leaves(out)[0])
+    float(chain(x, jnp.int32(klo)))  # compile + warm
+
+    def t(k):
+        kk = jnp.int32(k)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(f(x))
+            float(chain(x, kk))
             best = min(best, time.perf_counter() - t0)
         return best
-    return (t(fhi) - t(flo)) / (khi - klo)
+    t(klo)
+    return max((t(khi) - t(klo)) / (khi - klo), 1e-9)
 
 
 def wall_time(fn, *args, reps=3):
@@ -119,10 +124,10 @@ def main():
     # fused single-program pipelines: wpd -> costs -> device CW selection ->
     # dynamic extraction (slope-timed on the coefficient output)
     c2_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L2)[1]
-    record("c2_jbb_fused", slope_time(c2_fused, x2, 2, 16), B2 * n2,
+    record("c2_jbb_fused", slope_time(c2_fused, x2, 32, 256), B2 * n2,
            {"B": B2, "n": n2})
     c2b_fused = lambda a: wx.bestbasisall_pipeline(a, "db4", L2)[1]
-    record("c2b_bball_fused", slope_time(c2b_fused, x2, 2, 16), B2 * n2,
+    record("c2b_bball_fused", slope_time(c2b_fused, x2, 16, 128), B2 * n2,
            {"B": B2, "n": n2})
 
     # -- config 3: SWT/ACWT + SURE denoising of noisy HeaviSine batch --------
@@ -190,7 +195,7 @@ def main():
     record("c4_jbb_2d", wall_time(c4_jbb), B4 * n4 * n4, {"B": B4})
 
     c4_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L4, is2d=True)[1]
-    record("c4_jbb_2d_fused", slope_time(c4_fused, x4, 2, 8),
+    record("c4_jbb_2d_fused", slope_time(c4_fused, x4, 2, 16),
            B4 * n4 * n4, {"B": B4})
 
     # -- config 5: LDB pipeline on triangular 3-class dataset ---------------
@@ -226,10 +231,13 @@ def main():
                                        fb.dm, fb.dp, fb.top_k, fb.n_features,
                                        idxsb, False)
         return a + jnp.sum(feats) * 1e-30
-    record("c5b_ldb_fused_4k", slope_time(c5_fused, Xb, 2, 8), Xb.size,
+    record("c5b_ldb_fused_4k", slope_time(c5_fused, Xb, 8, 64), Xb.size,
            {"N": 3 * Nb})
 
-    out = pathlib.Path(__file__).parent / "all_results.json"
+    # quick/CPU smoke runs must not clobber the committed on-chip artifact
+    name = ("all_results.json" if not QUICK and "TPU" in dev
+            else "all_results_quick.json")
+    out = pathlib.Path(__file__).parent / name
     out.write_text(json.dumps({"device": dev, "quick": QUICK,
                                "results": RESULTS}, indent=2))
     print(f"wrote {out}")

@@ -275,3 +275,21 @@ def test_iswpd_dyn_matches_static():
     want = np.asarray(wx.iswpd(xw, "db2", tree))
     got = np.asarray(wx.iswpd_dyn(xw, "db2", jnp.asarray(tree)))
     assert np.allclose(got, want, atol=1e-10)
+
+
+def test_pipeline_single_signal_bb():
+    """bestbasis_pipeline on an unbatched signal with BB (regression: the
+    streamed rewrite assumed a leading batch axis)."""
+    x = jnp.asarray(RNG.standard_normal(64))
+    tree, coefs = wx.bestbasis_pipeline(x, "db4", 3, method=wx.BB())
+    assert coefs.shape == (64,)
+    ref_tree = wx.bestbasistree(wx.wpd(x, "db4", 3)[None][0][None] if False
+                                else wx.wpd(x, "db4", 3), wx.BB())
+    assert np.array_equal(np.asarray(tree), np.asarray(ref_tree))
+    rec = wx.iwpt_dyn(coefs, "db4", tree)
+    assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+
+
+def test_pipeline_rejects_bad_level():
+    with pytest.raises(ValueError):
+        wx.bestbasis_pipeline(jnp.zeros((4, 64)), "db4", 10)

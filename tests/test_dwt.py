@@ -123,3 +123,24 @@ def test_jit_and_vmap():
     assert np.allclose(f(x), wx.wpd(x, "db4", 3))
     g = jax.vmap(lambda a: wx.wpt(a, "db4", 2))
     assert np.allclose(g(x), wx.wpt(x, "db4", 2))
+
+
+def test_iwpt_dyn_unbatched_signal_batched_trees():
+    """Docstring-advertised combo: one signal, a batch of per-signal trees
+    (regression: the blocked-mask rewrite broke this broadcast)."""
+    import waveletsext_tpu as wx
+    x = jnp.asarray(RNG.standard_normal(64))
+    trees = np.stack([np.asarray(wx.maketree(64, 3, "dwt")),
+                      np.asarray(wx.maketree(64, 3, "full"))])
+    y = jnp.stack([wx.wpt(x, "db4", trees[0]), wx.wpt(x, "db4", trees[1])])
+    # single coefficients row against both trees
+    rec = wx.iwpt_dyn(y[0], "db4", jnp.asarray(trees[0]))
+    assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+    rec2 = wx.iwpt_dyn(y, "db4", jnp.asarray(trees))
+    assert rec2.shape == (2, 64)
+    assert np.allclose(np.asarray(rec2[0]), np.asarray(x), atol=1e-10)
+    assert np.allclose(np.asarray(rec2[1]), np.asarray(x), atol=1e-10)
+    # one coefficient row broadcast against a batch of trees
+    rec3 = wx.iwpt_dyn(y[0], "db4", jnp.asarray(trees))
+    assert rec3.shape == (2, 64)
+    assert np.allclose(np.asarray(rec3[0]), np.asarray(x), atol=1e-10)

@@ -96,18 +96,44 @@ def test_reconstruction_full_no_prune():
 from waveletsext_tpu.transforms import siwt_dense
 
 
+def _reference_node_set(L, budget):
+    """Independent oracle: the reference's siwpd_subtree recursion rule
+    (SIWT.jl:93-136) generating the (depth, index, shift) node set.  Kept
+    here (not in the library) so the dense shift_masks validity rule is
+    checked against a second implementation, not against itself."""
+    nodes = set()
+
+    def expand(d, b, s, rd):
+        nodes.add((d, b, s))
+        if d == L or (rd == 0 and s > 0):
+            return
+        child_rd = rd - 1 if s > 0 else min(rd, L - (d + 1))
+        expand(d + 1, 2 * b, s, child_rd)
+        expand(d + 1, 2 * b + 1, s, child_rd)
+        if rd > 0:
+            cs = s + (1 << d)
+            expand(d + 1, 2 * b, cs, rd - 1)
+            expand(d + 1, 2 * b + 1, cs, rd - 1)
+
+    expand(0, 0, 0, budget)
+    return nodes
+
+
 @pytest.mark.parametrize("L,d", [(3, 3), (3, 1), (4, 2)])
 def test_dense_node_set_matches_object(L, d):
     """The static (depth, shift) validity masks must generate exactly the
-    reference recursion's node set (SIWT.jl:93-136)."""
+    reference recursion's node set (SIWT.jl:93-136) — oracle recursion
+    implemented independently in this test."""
     x = jnp.asarray(np.random.default_rng(9).standard_normal(16))
     obj = siwt.siwpd(x, "haar", L, d)
-    valid, _ = siwt_dense.shift_masks(L, d)
-    expect = {(dd, b, s)
-              for dd in range(L + 1)
-              for b in range(1 << dd)
-              for s in np.nonzero(valid[dd])[0].tolist()}
+    expect = _reference_node_set(L, d)
     assert set(obj.nodes.keys()) == expect
+    valid, _ = siwt_dense.shift_masks(L, d)
+    mask_set = {(dd, b, s)
+                for dd in range(L + 1)
+                for b in range(1 << dd)
+                for s in np.nonzero(valid[dd])[0].tolist()}
+    assert mask_set == expect
 
 
 @pytest.mark.parametrize("wt", ["haar", "db4"])

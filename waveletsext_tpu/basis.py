@@ -524,6 +524,19 @@ def _stream_extract(x, wtname, L: int, tree, is2d: bool):
     return acc
 
 
+def _pipeline_dims(x, L, is2d):
+    """(n, m, L, was_unbatched): resolve/validate levels; detect an
+    unbatched single signal/image (lifted to batch 1 by the pipelines so the
+    streamed BB path and batch moments see a batch axis)."""
+    from .transforms.dwt import _default_levels
+    if is2d:
+        n, m = x.shape[-2:]
+        L = _default_levels(min(n, m), L)   # raises for out-of-range L
+        return n, m, L, x.ndim == 2
+    n = x.shape[-1]
+    return n, None, _default_levels(n, L), x.ndim == 1
+
+
 @functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
 def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     """The fused §3.1 "training" loop: batch WPD -> per-node costs -> CW
@@ -533,15 +546,17 @@ def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     with the tree still on device.  Streams levels instead of materializing
     the wpd stack (see above)."""
     method = JBB() if method is None else method
-    if is2d:
-        n, m = x.shape[-2:]
-        L = maxtransformlevels(min(n, m)) if L is None else L
-    else:
-        n, m = x.shape[-1], None
-        L = maxtransformlevels(n) if L is None else L
+    n, m, L, single = _pipeline_dims(x, L, is2d)
+    if single:
+        x = x[None]
     costs = _stream_costs(x, wt, L, method, is2d)
     tree = bestbasis_treeselection_dev(costs, n, m)
-    return tree, _stream_extract(x, wt, L, tree, is2d)
+    coefs = _stream_extract(x, wt, L, tree, is2d)
+    if single:
+        coefs = coefs[0]
+        if isinstance(method, BB):
+            tree = tree[0]
+    return tree, coefs
 
 
 @functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
@@ -550,12 +565,12 @@ def bestbasisall_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     selection -> per-signal extraction, one program (reference:
     BestBasis.jl:253-262 looping signals on the host)."""
     method = BB() if method is None else method
-    if is2d:
-        n, m = x.shape[-2:]
-        L = maxtransformlevels(min(n, m)) if L is None else L
-    else:
-        n, m = x.shape[-1], None
-        L = maxtransformlevels(n) if L is None else L
+    n, m, L, single = _pipeline_dims(x, L, is2d)
+    if single:
+        x = x[None]
     costs = _stream_costs(x, wt, L, method, is2d)
     trees = bestbasis_treeselection_dev(costs, n, m)
-    return trees, _stream_extract(x, wt, L, trees, is2d)
+    coefs = _stream_extract(x, wt, L, trees, is2d)
+    if single:
+        trees, coefs = trees[0], coefs[0]
+    return trees, coefs

@@ -89,13 +89,13 @@ def _node_level_inv(node, lo, hi):
     return jnp.stack(outs, axis=1).reshape(m, node.shape[1])
 
 
-def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi):
+def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi, precision):
     def kernel(y_ref, s_ref, x_ref):
         cur = y_ref[:].T  # (n, TB), signal on sublanes
         if shallow < L:
             m0 = n >> shallow
             st = s_ref[:]  # (m0, m0) = S^T
-            prec = _conv.MATMUL_PRECISION
+            prec = precision
             if prec == jax.lax.Precision.HIGH:
                 prec = jax.lax.Precision.HIGHEST
             pieces = []
@@ -115,13 +115,15 @@ def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("wt", "L", "block_b"))
-def iwpt_pallas(y, wt: str, L: int, block_b: int = 128):
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "block_b", "precision"))
+def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None):
     """Fused 1-D inverse WPT (int levels) for (B, n) float32/bfloat16 on TPU
     — the mirror of :func:`wpt_pallas`: one composed per-node synthesis
     contraction on the MXU for the deep levels, then the shallow inverse
     window levels on the VPU, one VMEM trip per batch tile."""
     w = _wavelet(wt) if isinstance(wt, str) else wt
+    precision = _conv.MATMUL_PRECISION if precision is None else precision
     B, n = y.shape
     cutoff = min(512, _ops.MATMUL_CUTOFF)
     shallow = 0
@@ -136,7 +138,7 @@ def iwpt_pallas(y, wt: str, L: int, block_b: int = 128):
         St = jnp.zeros((8, 128), y.dtype)  # unused
     tb = min(block_b, B)
     assert B % tb == 0, (B, tb)
-    kernel = _make_kernel_inv(n, L, shallow, w.lo, w.hi)
+    kernel = _make_kernel_inv(n, L, shallow, w.lo, w.hi, precision)
     flops = 2 * B * n * (len(w.lo) * 2 * shallow + (n >> shallow))
     return pl.pallas_call(
         kernel,
@@ -157,7 +159,7 @@ def iwpt_pallas(y, wt: str, L: int, block_b: int = 128):
     )(y, St)
 
 
-def _make_kernel(n: int, L: int, shallow: int, lo, hi):
+def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
     def kernel(x_ref, a_ref, y_ref):
         cur = x_ref[:].T  # (n, TB), signal on sublanes
         for d in range(shallow):
@@ -176,7 +178,7 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi):
                 node = cur[b * m0:(b + 1) * m0]
                 # Mosaic supports only DEFAULT/HIGHEST dot precision; map the
                 # XLA-only HIGH (bf16_3x) to HIGHEST inside the kernel
-                prec = _conv.MATMUL_PRECISION
+                prec = precision
                 if prec == jax.lax.Precision.HIGH:
                     prec = jax.lax.Precision.HIGHEST
                 pieces.append(jnp.dot(at, node,
@@ -187,10 +189,15 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("wt", "L", "block_b"))
-def wpt_pallas(x, wt: str, L: int, block_b: int = 128):
-    """Fused 1-D WPT (int levels) for (B, n) float32/bfloat16 on TPU."""
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "block_b", "precision"))
+def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None):
+    """Fused 1-D WPT (int levels) for (B, n) float32/bfloat16 on TPU.
+
+    ``precision=None`` reads conv.MATMUL_PRECISION at call time; it is a
+    static arg so set_matmul_precision() re-traces this path too."""
     w = _wavelet(wt) if isinstance(wt, str) else wt
+    precision = _conv.MATMUL_PRECISION if precision is None else precision
     B, n = x.shape
     # The in-kernel cutoff differs from the XLA path's MATMUL_CUTOFF: shallow
     # window levels are cheap on the VPU here, so trading MXU flops
@@ -210,7 +217,7 @@ def wpt_pallas(x, wt: str, L: int, block_b: int = 128):
         At = jnp.zeros((8, 128), x.dtype)  # unused
     tb = min(block_b, B)
     assert B % tb == 0, (B, tb)
-    kernel = _make_kernel(n, L, shallow, w.lo, w.hi)
+    kernel = _make_kernel(n, L, shallow, w.lo, w.hi, precision)
     flops = 2 * B * n * (len(w.lo) * 2 * shallow + (n >> shallow))
     return pl.pallas_call(
         kernel,

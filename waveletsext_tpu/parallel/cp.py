@@ -203,14 +203,30 @@ def _atrous_level_cp(cur, d: int, S: int, lo, hi, axis: str,
             _coset_unshard(w2c, D, S, axis))
 
 
+def _check_cp_depth(n: int, L: int, S: int):
+    """Every level needs either a single-neighbor halo or a whole-coset
+    layout; both require dilation 2^d <= n/S, so the sharded transforms
+    support L <= log2(n/S) + 1 (deeper needs multi-hop halos — reshard to
+    fewer/wider chunks instead)."""
+    n_loc = n // S
+    if L > 0 and (1 << (L - 1)) > n_loc:
+        raise ValueError(
+            f"L={L} too deep for {S} position shards of length {n_loc}: "
+            f"level {L - 1} has dilation {1 << (L - 1)} > shard; max "
+            f"L = {int(np.log2(n_loc)) + 1}")
+
+
 def sdwt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
             force: str | None = None):
     """Position-sharded stationary DWT -> (..., L+1, n) stack (slot 0 =
     coarsest approx, transforms/swt.py layout), signal axis sharded over
     ``axis``.  ``force`` in {None, 'halo', 'cosets'} pins the per-level
-    strategy (None = automatic by halo-to-shard ratio)."""
+    strategy (None = automatic by halo-to-shard ratio).  Depth is bounded
+    by the shard length: L <= log2(n / n_shards) + 1 (see _check_cp_depth).
+    """
     w = _wavelet(wt) if isinstance(wt, str) else wt
     S = mesh.shape[axis]
+    _check_cp_depth(x.shape[-1], L, S)
     lead = len(x.shape) - 1
     in_spec = P(*([None] * lead), axis)
     out_spec = P(*([None] * lead), None, axis)
@@ -231,9 +247,10 @@ def swpd_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
             force: str | None = None):
     """Position-sharded stationary WPD -> all-node table
     (..., 2^(L+1)-1, n) (transforms/swt.py swpd layout: 1-based node i at
-    slot i-1)."""
+    slot i-1).  Depth bound: L <= log2(n / n_shards) + 1."""
     w = _wavelet(wt) if isinstance(wt, str) else wt
     S = mesh.shape[axis]
+    _check_cp_depth(x.shape[-1], L, S)
     lead = len(x.shape) - 1
     in_spec = P(*([None] * lead), axis)
     out_spec = P(*([None] * lead), None, axis)

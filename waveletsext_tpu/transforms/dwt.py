@@ -63,7 +63,10 @@ def _try_pallas_wpt(x, w, L: int):
     if block is None:
         return None
     from ..kernels.pallas_wpt import wpt_pallas
-    out = wpt_pallas(x.reshape(B, n), w.name, L, block)
+    # precision resolved HERE (static jit arg) so set_matmul_precision
+    # re-traces the Pallas path too
+    out = wpt_pallas(x.reshape(B, n), w.name, L, block,
+                     precision=conv.MATMUL_PRECISION)
     return out.reshape(*x.shape[:-1], n)
 
 
@@ -79,7 +82,8 @@ def _try_pallas_iwpt(y, w, L: int):
     if block is None:
         return None
     from ..kernels.pallas_wpt import iwpt_pallas
-    out = iwpt_pallas(y.reshape(B, n), w.name, L, block)
+    out = iwpt_pallas(y.reshape(B, n), w.name, L, block,
+                      precision=conv.MATMUL_PRECISION)
     return out.reshape(*y.shape[:-1], n)
 
 
@@ -462,17 +466,17 @@ def iwpt_dyn(y, wt, tree):
     w = _wt(wt)
     n = y.shape[-1]
     depth = _dyn_depth(tree.shape[-1], n, quad=False)
-    cur = y
+    lead = jnp.broadcast_shapes(y.shape[:-1], tree.shape[:-1])
+    cur = jnp.broadcast_to(y, lead + (n,))
     for d in range(depth - 1, -1, -1):
         merged = _wpt_level_inv(cur, d, w.lo, w.hi)
         marks = tree[..., (1 << d) - 1: (1 << (d + 1)) - 1]
         # select in the blocked node view: a jnp.repeat position mask lowers
         # to scalar-path gathers on TPU (see utils.leaf_masks_dyn)
         g, s = 1 << d, n >> d
-        mb = merged.reshape(merged.shape[:-1] + (g, s))
-        cb = jnp.broadcast_to(cur, merged.shape).reshape(
-            merged.shape[:-1] + (g, s))
-        cur = jnp.where(marks[..., :, None], mb, cb).reshape(merged.shape)
+        mb = merged.reshape(lead + (g, s))
+        cb = cur.reshape(lead + (g, s))
+        cur = jnp.where(marks[..., :, None], mb, cb).reshape(lead + (n,))
     return cur
 
 
@@ -481,7 +485,8 @@ def iwpt2_dyn(y, wt, tree):
     w = _wt(wt)
     n, m = y.shape[-2:]
     depth = _dyn_depth(tree.shape[-1], min(n, m), quad=True)
-    cur = y
+    lead = jnp.broadcast_shapes(y.shape[:-2], tree.shape[:-1])
+    cur = jnp.broadcast_to(y, lead + (n, m))
     for d in range(depth - 1, -1, -1):
         merged = _wpt_level_inv2(cur, d, w.lo, w.hi)
         g = 1 << d
@@ -491,11 +496,11 @@ def iwpt2_dyn(y, wt, tree):
         inv = np.argsort(_zorder_perm(d))
         rm = marks[..., inv].reshape(*marks.shape[:-1], g, g)
         bn, bm = n // g, m // g
-        blk = merged.shape[:-2] + (g, bn, g, bm)
+        blk = lead + (g, bn, g, bm)
         mb = merged.reshape(blk)
-        cb = jnp.broadcast_to(cur, merged.shape).reshape(blk)
+        cb = cur.reshape(blk)
         cur = jnp.where(rm[..., :, None, :, None], mb, cb).reshape(
-            merged.shape)
+            lead + (n, m))
     return cur
 
 

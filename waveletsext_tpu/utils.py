@@ -227,6 +227,9 @@ def leaf_masks_dyn(tree, L: int):
     alive = jnp.ones(lead + (1,), bool)
     masks = []
     for d in range(L + 1):
+        if d == L:  # deepest stack level: every still-alive block is a leaf
+            masks.append(alive)
+            break
         g = 1 << d
         i0, i1 = g - 1, min(2 * g - 1, nt)
         if i0 < nt:
@@ -236,15 +239,10 @@ def leaf_masks_dyn(tree, L: int):
                                 [(0, 0)] * len(lead) + [(0, g - (i1 - i0))])
         else:
             split = jnp.zeros(lead + (g,), bool)
-        if d == L:
-            masks.append(alive)
-        else:
-            masks.append(alive & ~split)
-            nxt = (alive & split)[..., :, None]
-            alive = jnp.broadcast_to(nxt, nxt.shape[:-1] + (2,)).reshape(
-                lead + (2 * g,))
-        if d == L:
-            break
+        masks.append(alive & ~split)
+        nxt = (alive & split)[..., :, None]
+        alive = jnp.broadcast_to(nxt, nxt.shape[:-1] + (2,)).reshape(
+            lead + (2 * g,))
     return masks
 
 
@@ -257,6 +255,9 @@ def leaf_masks2_dyn(tree, L: int):
     alive = jnp.ones(lead + (1, 1), bool)
     masks = []
     for d in range(L + 1):
+        if d == L:  # deepest stack level
+            masks.append(alive)
+            break
         g = 1 << d
         i0 = (4 ** d - 1) // 3
         i1 = min(i0 + g * g, nt)
@@ -269,9 +270,6 @@ def leaf_masks2_dyn(tree, L: int):
             split = jnp.zeros(lead + (g * g,), bool)
         inv = np.argsort(_zorder_perm(d))   # node order -> row-major grid
         split = split[..., inv].reshape(lead + (g, g))
-        if d == L:
-            masks.append(alive)
-            break
         masks.append(alive & ~split)
         nxt = (alive & split)[..., :, None, :, None]
         alive = jnp.broadcast_to(
