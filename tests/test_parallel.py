@@ -162,3 +162,29 @@ def test_cp_swpd_matches_single():
     got = cp.swpd_cp(xs, "db4", L, mesh)
     ref = wx.swpd(x, "db4", L)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+@pytest.mark.parametrize("force", [None, "cosets"])
+def test_cp_acdwt_matches_single(force):
+    """Position-sharded ACWT (half-filter phase offsets) == single device,
+    through both strategies."""
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    n, L = 512, 5
+    x = jnp.asarray(RNG.standard_normal((2, n)))
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    got = cp.acdwt_cp(xs, "db4", L, mesh, force=force)
+    ref = wx.acdwt(x, "db4", L)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10), force
+    # inverse is filterless and local: reconstruct from the sharded table
+    rec = wx.iacdwt(got)
+    assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+
+
+def test_cp_depth_guard():
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("dp", "sp"))
+    x = jnp.asarray(RNG.standard_normal((2, 512)))
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    with pytest.raises(ValueError, match="too deep"):
+        cp.sdwt_cp(xs, "db4", 8, mesh)

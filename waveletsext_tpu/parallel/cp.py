@@ -163,14 +163,20 @@ def _coset_unshard(yl, D: int, S: int, axis: str):
 
 
 def _atrous_level_cp(cur, d: int, S: int, lo, hi, axis: str,
-                     force: str | None = None):
-    """One position-sharded a-trous analysis level (conv.sdwt_step
-    conventions: w1[p] = sum_t lo[t] v[p + D(t-1)], w2 offset -(F-1)D).
+                     force: str | None = None,
+                     off1: int | None = None, off2: int | None = None):
+    """One position-sharded a-trous analysis level.  ``off1``/``off2`` are
+    the filter offsets in coset units (w[p] = sum_t f[t] v[p + D(t+off)]):
+    defaults are the SWT step's (-1, -(F-1)) (swt_one_level.jl:99-127); the
+    ACWT step passes its half-filter phase shift (acwt_one_level.jl:101-128).
     Returns (w1_local, w2_local), both position-sharded like ``cur``."""
     D = 1 << d
     F = len(lo)
     n_loc = cur.shape[-1]
-    halo_l, halo_r = D * (F - 1), D * (F - 2)
+    off1 = -1 if off1 is None else off1
+    off2 = -(F - 1) if off2 is None else off2
+    halo_l = D * max(-off1, -off2, 0)
+    halo_r = D * max(off1 + F - 1, off2 + F - 1, 0)
     # the coset reshard needs whole cosets per device (S | D) and whole
     # coset rows per position chunk (D | n_loc); shallow levels (D < S)
     # always go through the halo path
@@ -185,20 +191,23 @@ def _atrous_level_cp(cur, d: int, S: int, lo, hi, axis: str,
         assert max(halo_l, halo_r) <= n_loc, "halo exceeds shard; use cosets"
         ring_l = [(j, (j + 1) % S) for j in range(S)]   # send to right
         ring_r = [(j, (j - 1) % S) for j in range(S)]   # send to left
-        parts = [jax.lax.ppermute(cur[..., n_loc - halo_l:], axis, ring_l),
-                 cur]
+        parts = []
+        if halo_l:
+            parts.append(jax.lax.ppermute(cur[..., n_loc - halo_l:], axis,
+                                          ring_l))
+        parts.append(cur)
         if halo_r:
             parts.append(jax.lax.ppermute(cur[..., :halo_r], axis, ring_r))
-        ext = jnp.concatenate(parts, axis=-1)
+        ext = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else cur
         w1 = conv.periodic_filter(ext, lo, stride=1, dilation=D,
-                                  offset=D * (F - 2))[..., :n_loc]
+                                  offset=halo_l + D * off1)[..., :n_loc]
         w2 = conv.periodic_filter(ext, hi, stride=1, dilation=D,
-                                  offset=0)[..., :n_loc]
+                                  offset=halo_l + D * off2)[..., :n_loc]
         return w1, w2
     # explicit all_to_all coset path
     cos = _coset_reshard(cur, D, S, axis)      # (..., D/S, n/D) full cosets
-    w1c = conv._circ_correlate(cos, lo, -1)
-    w2c = conv._circ_correlate(cos, hi, -(F - 1))
+    w1c = conv._circ_correlate(cos, lo, off1)
+    w2c = conv._circ_correlate(cos, hi, off2)
     return (_coset_unshard(w1c, D, S, axis),
             _coset_unshard(w2c, D, S, axis))
 
@@ -265,6 +274,34 @@ def swpd_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
                 nxt.extend([w1, w2])
             slots.extend(nxt)
         return jnp.stack(slots, axis=-2)
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
+def acdwt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
+             force: str | None = None):
+    """Position-sharded autocorrelation DWT -> (..., L+1, n) stack
+    (transforms/acwt.py acdwt layout: slot 0 = coarsest approx).  Same
+    halo / coset strategies as :func:`sdwt_cp`; the ACWT inverse is the
+    filterless pairwise average and needs no communication at all."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    _check_cp_depth(x.shape[-1], L, S)
+    ac_lo, ac_hi = w.ac_lo, w.ac_hi
+    off = -(len(ac_lo) // 2)
+    lead = len(x.shape) - 1
+    in_spec = P(*([None] * lead), axis)
+    out_spec = P(*([None] * lead), None, axis)
+
+    def inner(xl):
+        cur = xl
+        details = []
+        for d in range(L):
+            cur, w2 = _atrous_level_cp(cur, d, S, ac_lo, ac_hi, axis, force,
+                                       off1=off, off2=off)
+            details.append(w2)
+        return jnp.stack([cur] + details[::-1], axis=-2)
 
     return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
                      out_specs=out_spec)(x)
