@@ -293,3 +293,14 @@ def test_pipeline_single_signal_bb():
 def test_pipeline_rejects_bad_level():
     with pytest.raises(ValueError):
         wx.bestbasis_pipeline(jnp.zeros((4, 64)), "db4", 10)
+
+
+def test_jbb_covariance_costs_match_streamed():
+    """The one-pass covariance JBB moments must match the streamed per-level
+    moments (and the host tree_costs) to float64 precision."""
+    from waveletsext_tpu.basis import _jbb_costs_covariance, _stream_costs
+    from waveletsext_tpu.filters import wavelet
+    x = jnp.asarray(RNG.standard_normal((32, 128)))
+    got = _jbb_costs_covariance(x, wavelet("db4"), 5, wx.JBB().cost)
+    ref = wx.tree_costs(wx.wpd(x, "db4", 5), wx.JBB())
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-9)

@@ -456,12 +456,56 @@ def bestbasis_treeselection_dev(costs, n: int, m: int | None = None,
 # never written — worth >2x on the 2-D JBB pipeline where the stack is
 # (L+1)*n*m per image.
 
+def _jbb_costs_covariance(x, w, L: int, cost):
+    """JBB tree costs via operator algebra — the batch is touched ONCE.
+
+    The packed depth-d slice is the linear map ``X_d = X @ G_d`` with
+    ``G_d = composed_analysis_operator(n, d)``, so the JBB moments
+    (bestbasis_tree.jl:153-158) follow from the batch mean and second-moment
+    matrix without streaming the batch through every level:
+
+        E[X_d]   = E[X] @ G_d
+        E[X_d^2] = diag(G_d^T C G_d),   C = X^T X / B
+
+    i.e. one (B, n)x(n, n) covariance matmul plus L+1 tiny (n, n) matmuls —
+    profiling showed the per-level batch reductions were ~half of the fused
+    1-D JBB pipeline's runtime at n=256.  Numerically equal to the streamed
+    moments up to summation order (tests/test_basis.py).
+
+    NOT dispatched by default: measured on-chip at the c2 config
+    (B=1024, n=256, L=8) it came out ~20% *slower* than the streamed
+    moments (3,082 vs 3,750 Msps) — the fp32-accurate (6-pass) covariance
+    and per-level G^T C G matmuls cost more MXU time than the batch
+    reductions they replace.  Kept as a verified alternative: it wins when
+    the batch no longer fits the streamed-read budget (B >> n) or under
+    lower matmul precision."""
+    from .kernels import operators as _kops, conv as _conv
+    n = x.shape[-1]
+    B = x.shape[0]
+    tk = _kops.taps_key(w.lo, w.hi)
+    xf = x.reshape(B, n)
+    C = jnp.matmul(xf.T, xf, precision=_conv.MATMUL_PRECISION) / B
+    ex0 = jnp.mean(xf, axis=0)
+    out = []
+    for d in range(L + 1):
+        G = jnp.asarray(_kops.composed_analysis_operator(tk, n, d), x.dtype)
+        exd = ex0 @ G
+        e2d = jnp.sum(G * jnp.matmul(C, G,
+                                     precision=_conv.MATMUL_PRECISION),
+                      axis=0)
+        sigma = jnp.sqrt(jnp.maximum(e2d - exd ** 2, 0.0))
+        out.append(_level_costs_1d(sigma, d, cost))
+    return jnp.concatenate(out, axis=-1)
+
+
 def _stream_costs(x, wtname, L: int, method, is2d: bool):
     """Per-node cost vector computed level-by-level without a stack.
 
-    JBB: batch moments per level (bestbasis_tree.jl:150-207).  LSDB: batch
-    coefficients fold into the per-coordinate ASH entropy (:104-147).
-    BB: per-signal costs -> (N, k) (:210-256)."""
+    JBB: batch moments per level (bestbasis_tree.jl:150-207) — or, for 1-D
+    signals at or below the operator cutoff, via the one-pass covariance
+    form (:func:`_jbb_costs_covariance`).  LSDB: batch coefficients fold
+    into the per-coordinate ASH entropy (:104-147).  BB: per-signal costs
+    -> (N, k) (:210-256)."""
     from .transforms.dwt import _wpt_level_fwd, _wpt_level_fwd2, _wt as _dwt_wt
     w = _dwt_wt(wtname)
     step = _wpt_level_fwd2 if is2d else _wpt_level_fwd
