@@ -199,3 +199,26 @@ def test_fused_bestbasis_denoise_matches_composition():
     y2 = wx.bestbasis_denoise_pipeline(x, "db4", 6, method=wx.BB(),
                                        soft=True, smooth="undersmooth")
     assert y2.shape == x.shape
+
+
+def test_fused_bestbasis_denoise_2d():
+    """2-D fused best-basis denoiser: improves PSNR on a noisy image batch
+    and reconstructs exactly at sigma=0 noise (threshold ~0)."""
+    rng = np.random.default_rng(21)
+    img = np.zeros((2, 32, 32), np.float64)
+    img[:, 8:24, 8:24] = 1.0  # blocks image (sparse in haar packets)
+    noisy = jnp.asarray(img + 0.3 * rng.standard_normal(img.shape))
+    den = wx.bestbasis_denoise_pipeline2(noisy, "haar", 3)
+    assert den.shape == noisy.shape
+    p_noisy = float(wx.psnr(noisy[0], jnp.asarray(img[0])))
+    p_den = float(wx.psnr(den[0], jnp.asarray(img[0])))
+    assert p_den > p_noisy
+    # undersmooth keeps the coarsest scaling block untouched
+    den_u = wx.bestbasis_denoise_pipeline2(noisy, "haar", 3,
+                                           smooth="undersmooth")
+    assert den_u.shape == noisy.shape
+    # clean input passes through (t ~ MAD of HH ~ tiny but nonzero; use
+    # soft=False and check near-identity)
+    clean = jnp.asarray(img)
+    out = wx.bestbasis_denoise_pipeline2(clean, "haar", 3)
+    assert float(jnp.max(jnp.abs(out - clean))) < 1e-8

@@ -27,7 +27,8 @@ from .metrics import relativenorm, psnr, snr, ssim
 from .denoising import (HardTH, SoftTH, SteinTH, threshold, VisuShrink,
                       visushrink, SureShrink, sureshrink, RelErrorShrink,
                       noisest, surethreshold, relerrorthreshold, denoise,
-                      denoiseall, bestbasis_denoise_pipeline)
+                      denoiseall, bestbasis_denoise_pipeline,
+                      bestbasis_denoise_pipeline2)
 from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     LoglpCost, NormCost, DifferentialEntropyCost, coefcost,
                     tree_costs, bestbasis_treeselection, bestbasistree,

@@ -409,3 +409,50 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
         pos = jnp.arange(n)
         shrunk = jnp.where(pos < band, coefs, shrunk)
     return _dwt_mod.iwpt_dyn(shrunk, wt, tree)
+
+
+@_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
+                                              "smooth"))
+def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
+                                soft: bool = False, smooth: str = "regular"):
+    """2-D analog of :func:`bestbasis_denoise_pipeline` for image batches
+    ``(..., n, m)``: wpd2 -> quadtree costs -> device CW selection ->
+    dynamic extraction -> MAD sigma from the level-1 HH quadrant ->
+    VisuShrink t = sigma*sqrt(2 ln(n m)) -> threshold -> dynamic quadtree
+    inverse, one XLA program."""
+    from .basis import (tree_costs, bestbasis_treeselection_dev, JBB, BB)
+    from .utils import getbasiscoef2_dyn
+    method = JBB() if method is None else method
+    n, m = x.shape[-2:]
+    xw = _dwt_mod.wpd2(x, wt, L)
+    if isinstance(method, BB):
+        costs = jax.vmap(lambda s: tree_costs(s, method, True))(xw)
+    else:
+        costs = tree_costs(xw, method, True)
+    tree = bestbasis_treeselection_dev(costs, n, m)
+    coefs = getbasiscoef2_dyn(xw, tree)
+    # sigma: MAD of the finest-detail (level-1 HH quadrant) coefficients
+    dr = xw[..., 1, n // 2:, m // 2:].reshape(*xw.shape[:-3], -1)
+    med = jnp.median(dr, axis=-1, keepdims=True)
+    sigma = (jnp.median(jnp.abs(dr - med), axis=-1, keepdims=True)
+             / 0.6745)[..., None]
+    t = sigma * np.sqrt(2.0 * np.log(n * m))
+    if soft:
+        shrunk = jnp.sign(coefs) * jnp.maximum(jnp.abs(coefs) - t, 0.0)
+    else:
+        shrunk = jnp.where(jnp.abs(coefs) > t, coefs, 0.0)
+    if smooth == "undersmooth":
+        # spare the coarsest scaling block: its size follows the run of
+        # marked top-left-spine quadtree nodes (child of node i = 4i-2)
+        spine_idx = []
+        i = 1
+        while i - 1 < tree.shape[-1]:
+            spine_idx.append(i - 1)
+            i = 4 * i - 2
+        spine = tree[..., np.array(spine_idx)].astype(jnp.int32)
+        lvl0 = jnp.sum(jnp.cumprod(spine, axis=-1), axis=-1)[..., None, None]
+        rows = jnp.arange(n)[:, None]
+        cols = jnp.arange(m)[None, :]
+        keep = (rows < (n >> lvl0)) & (cols < (m >> lvl0))
+        shrunk = jnp.where(keep, coefs, shrunk)
+    return _dwt_mod.iwpt2_dyn(shrunk, wt, tree)
