@@ -188,3 +188,32 @@ def test_cp_depth_guard():
     xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
     with pytest.raises(ValueError, match="too deep"):
         cp.sdwt_cp(xs, "db4", 8, mesh)
+
+
+@pytest.mark.parametrize("force", [None, "cosets"])
+def test_cp_sdwt2_matches_single(force):
+    """Column-sharded 2-D a-trous SWT == single-device sdwt2."""
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    x = jnp.asarray(RNG.standard_normal((2, 64, 256)))
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, P(None, None, "sp")))
+    got = cp.sdwt2_cp(xs, "db4", 4, mesh, force=force)
+    ref = wx.sdwt2(x, "db4", 4)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10), force
+    # the average-based inverse runs on the sharded stack via GSPMD
+    rec = wx.isdwt2(got, "db4")
+    assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+
+
+def test_sharded_2d_pipeline_matches_single():
+    """GSPMD 2-D fused JBB pipeline under a (dp, sp) mesh (image columns on
+    sp) == single-device result."""
+    from jax.sharding import NamedSharding
+    mesh = make_mesh(2, 4)
+    x = jnp.asarray(RNG.standard_normal((8, 32, 64)).astype(np.float64))
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", None, "sp")))
+    tree_s, coefs_s = wx.bestbasis_pipeline(xs, "db4", 3, is2d=True)
+    tree_1, coefs_1 = wx.bestbasis_pipeline(x, "db4", 3, is2d=True)
+    assert np.array_equal(np.asarray(tree_s), np.asarray(tree_1))
+    assert np.allclose(np.asarray(coefs_s), np.asarray(coefs_1), atol=1e-12)

@@ -279,6 +279,48 @@ def swpd_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
                      out_specs=out_spec)(x)
 
 
+def sdwt2_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
+             force: str | None = None):
+    """Column-sharded 2-D stationary DWT -> (..., 3L+1, n, m) stack
+    (transforms/swt.py sdwt2 layout), with the LAST (column) axis sharded
+    over ``axis``.
+
+    Separable: the row-direction filter pass works on full local rows (no
+    communication); the column-direction pass is the 1-D a-trous CP level —
+    halo ppermutes or the coset all_to_all — applied with the row axis
+    folded into the batch.  Depth bound: L <= log2(m / n_shards) + 1."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    _check_cp_depth(x.shape[-1], L, S)
+    lead = len(x.shape) - 2
+    in_spec = P(*([None] * (lead + 1)), axis)
+    out_spec = P(*([None] * (lead + 1)), None, axis)
+
+    def level2(cur, d):
+        # reference order (swt_one_level.jl:334-370): first the axis -2
+        # pass — local, every device holds whole columns of its slice —
+        # then the sharded last-axis pass through the 1-D CP level
+        t1, t2 = (jnp.swapaxes(r, -1, -2) for r in conv.sdwt_step(
+            jnp.swapaxes(cur, -1, -2), d, w.lo, w.hi))
+        w1, w2 = _atrous_level_cp(t1, d, S, w.lo, w.hi, axis, force)
+        w3, w4 = _atrous_level_cp(t2, d, S, w.lo, w.hi, axis, force)
+        return w1, w2, w3, w4
+
+    def inner(xl):
+        cur = xl
+        slots = {}
+        for d in range(L):
+            w1, w2, w3, w4 = level2(cur, d)
+            base = 3 * (L - d)
+            slots[base - 2], slots[base - 1], slots[base] = w2, w3, w4
+            cur = w1
+        slots[0] = cur
+        return jnp.stack([slots[j] for j in range(3 * L + 1)], axis=-3)
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
 def acdwt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
              force: str | None = None):
     """Position-sharded autocorrelation DWT -> (..., L+1, n) stack
