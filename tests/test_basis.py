@@ -303,4 +303,6 @@ def test_jbb_covariance_costs_match_streamed():
     x = jnp.asarray(RNG.standard_normal((32, 128)))
     got = _jbb_costs_covariance(x, wavelet("db4"), 5, wx.JBB().cost)
     ref = wx.tree_costs(wx.wpd(x, "db4", 5), wx.JBB())
+    streamed = _stream_costs(x, "db4", 5, wx.JBB(), False)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-9)
+    assert np.allclose(np.asarray(streamed), np.asarray(ref), atol=1e-11)

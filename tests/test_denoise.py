@@ -222,3 +222,25 @@ def test_fused_bestbasis_denoise_2d():
     clean = jnp.asarray(img)
     out = wx.bestbasis_denoise_pipeline2(clean, "haar", 3)
     assert float(jnp.max(jnp.abs(out - clean))) < 1e-8
+
+
+def test_fused_denoise_batch_shapes():
+    """The fused denoisers accept single inputs and multi-dim batches; a
+    (2, 3, ...) batch must equal the flattened (6, ...) batch (one joint
+    JBB tree over the lot)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 3, 64)))
+    got = wx.bestbasis_denoise_pipeline(x, "db4", 4)
+    flat = wx.bestbasis_denoise_pipeline(x.reshape(6, 64), "db4", 4)
+    assert got.shape == (2, 3, 64)
+    assert np.allclose(np.asarray(got).reshape(6, 64), np.asarray(flat))
+    single = wx.bestbasis_denoise_pipeline(x[0, 0], "db4", 4)
+    assert single.shape == (64,)
+
+    img = jnp.asarray(rng.standard_normal((2, 2, 32, 32)))
+    got2 = wx.bestbasis_denoise_pipeline2(img, "haar", 3)
+    flat2 = wx.bestbasis_denoise_pipeline2(img.reshape(4, 32, 32), "haar", 3)
+    assert got2.shape == (2, 2, 32, 32)
+    assert np.allclose(np.asarray(got2).reshape(4, 32, 32), np.asarray(flat2))
+    single2 = wx.bestbasis_denoise_pipeline2(img[0, 0], "haar", 3)
+    assert single2.shape == (32, 32)

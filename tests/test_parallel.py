@@ -217,3 +217,13 @@ def test_sharded_2d_pipeline_matches_single():
     tree_1, coefs_1 = wx.bestbasis_pipeline(x, "db4", 3, is2d=True)
     assert np.array_equal(np.asarray(tree_s), np.asarray(tree_1))
     assert np.allclose(np.asarray(coefs_s), np.asarray(coefs_1), atol=1e-12)
+
+
+def test_cp_sdwt2_rejects_bad_level():
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    x = jnp.asarray(RNG.standard_normal((2, 64, 1024)))
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, P(None, None, "sp")))
+    with pytest.raises(ValueError, match="L must be in"):
+        cp.sdwt2_cp(xs, "db4", 7, mesh)  # min side 64 supports only 6

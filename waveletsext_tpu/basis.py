@@ -501,11 +501,11 @@ def _jbb_costs_covariance(x, w, L: int, cost):
 def _stream_costs(x, wtname, L: int, method, is2d: bool):
     """Per-node cost vector computed level-by-level without a stack.
 
-    JBB: batch moments per level (bestbasis_tree.jl:150-207) — or, for 1-D
-    signals at or below the operator cutoff, via the one-pass covariance
-    form (:func:`_jbb_costs_covariance`).  LSDB: batch coefficients fold
-    into the per-coordinate ASH entropy (:104-147).  BB: per-signal costs
-    -> (N, k) (:210-256)."""
+    JBB: batch moments per level (bestbasis_tree.jl:150-207).  LSDB: batch
+    coefficients fold into the per-coordinate ASH entropy (:104-147).
+    BB: per-signal costs -> (N, k) (:210-256).  (The one-pass covariance
+    JBB form exists as :func:`_jbb_costs_covariance` but measured slower on
+    chip and is NOT dispatched — see its docstring / BENCHMARKS.md.)"""
     from .transforms.dwt import _wpt_level_fwd, _wpt_level_fwd2, _wt as _dwt_wt
     w = _dwt_wt(wtname)
     step = _wpt_level_fwd2 if is2d else _wpt_level_fwd

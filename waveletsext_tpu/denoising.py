@@ -380,6 +380,8 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     from .utils import getbasiscoef_dyn
     method = JBB() if method is None else method
     n = x.shape[-1]
+    lead = x.shape[:-1]
+    x = x.reshape((-1, n))  # flatten batch dims (JBB joins the lot)
     xw = _dwt_mod.wpd(x, wt, L)
     if isinstance(method, BB):
         costs = jax.vmap(lambda s: tree_costs(s, method))(xw)
@@ -408,7 +410,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
         band = (n >> lvl0)                    # (..., 1) scaling-leaf length
         pos = jnp.arange(n)
         shrunk = jnp.where(pos < band, coefs, shrunk)
-    return _dwt_mod.iwpt_dyn(shrunk, wt, tree)
+    return _dwt_mod.iwpt_dyn(shrunk, wt, tree).reshape(lead + (n,))
 
 
 @_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
@@ -416,23 +418,28 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
 def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
                                 soft: bool = False, smooth: str = "regular"):
     """2-D analog of :func:`bestbasis_denoise_pipeline` for image batches
-    ``(..., n, m)``: wpd2 -> quadtree costs -> device CW selection ->
-    dynamic extraction -> MAD sigma from the level-1 HH quadrant ->
-    VisuShrink t = sigma*sqrt(2 ln(n m)) -> threshold -> dynamic quadtree
-    inverse, one XLA program."""
-    from .basis import (tree_costs, bestbasis_treeselection_dev, JBB, BB)
-    from .utils import getbasiscoef2_dyn
+    ``(..., n, m)`` (any leading batch shape, or a single image): streamed
+    quadtree costs -> device CW selection -> streamed leaf-mask extraction
+    (the wpd2 stack is never materialized; see basis._stream_costs) -> MAD
+    sigma from a recomputed level-1 HH quadrant -> VisuShrink
+    t = sigma*sqrt(2 ln(n m)) -> threshold -> dynamic quadtree inverse,
+    one XLA program."""
+    from .basis import (_stream_costs, _stream_extract,
+                        bestbasis_treeselection_dev, JBB, BB)
+    from .transforms.dwt import _wpt_level_fwd2, _default_levels, _wt
     method = JBB() if method is None else method
     n, m = x.shape[-2:]
-    xw = _dwt_mod.wpd2(x, wt, L)
-    if isinstance(method, BB):
-        costs = jax.vmap(lambda s: tree_costs(s, method, True))(xw)
-    else:
-        costs = tree_costs(xw, method, True)
+    L = _default_levels(min(n, m), L)
+    lead = x.shape[:-2]
+    xf = x.reshape((-1, n, m))  # flatten batch dims (JBB joins the lot)
+    costs = _stream_costs(xf, wt, L, method, True)
     tree = bestbasis_treeselection_dev(costs, n, m)
-    coefs = getbasiscoef2_dyn(xw, tree)
-    # sigma: MAD of the finest-detail (level-1 HH quadrant) coefficients
-    dr = xw[..., 1, n // 2:, m // 2:].reshape(*xw.shape[:-3], -1)
+    coefs = _stream_extract(xf, wt, L, tree, True)
+    # sigma: MAD of the finest-detail (level-1 HH quadrant) coefficients,
+    # recomputed from one level step (cheap next to the stack it replaces)
+    w = _wt(wt)
+    lvl1 = _wpt_level_fwd2(xf, 0, w.lo, w.hi)
+    dr = lvl1[..., n // 2:, m // 2:].reshape(xf.shape[0], -1)
     med = jnp.median(dr, axis=-1, keepdims=True)
     sigma = (jnp.median(jnp.abs(dr - med), axis=-1, keepdims=True)
              / 0.6745)[..., None]
@@ -455,4 +462,5 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
         cols = jnp.arange(m)[None, :]
         keep = (rows < (n >> lvl0)) & (cols < (m >> lvl0))
         shrunk = jnp.where(keep, coefs, shrunk)
-    return _dwt_mod.iwpt2_dyn(shrunk, wt, tree)
+    out = _dwt_mod.iwpt2_dyn(shrunk, wt, tree)
+    return out.reshape(lead + (n, m))

@@ -291,6 +291,11 @@ def sdwt2_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
     folded into the batch.  Depth bound: L <= log2(m / n_shards) + 1."""
     w = _wavelet(wt) if isinstance(wt, str) else wt
     S = mesh.shape[axis]
+    from ..trees import maxtransformlevels
+    Lmax = maxtransformlevels(min(x.shape[-2:]))
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L must be in 1..{Lmax} for {x.shape[-2:]} images,"
+                         f" got {L}")
     _check_cp_depth(x.shape[-1], L, S)
     lead = len(x.shape) - 2
     in_spec = P(*([None] * (lead + 1)), axis)
@@ -299,12 +304,14 @@ def sdwt2_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
     def level2(cur, d):
         # reference order (swt_one_level.jl:334-370): first the axis -2
         # pass — local, every device holds whole columns of its slice —
-        # then the sharded last-axis pass through the 1-D CP level
+        # then the sharded last-axis pass through the 1-D CP level.  Both
+        # subbands go through ONE CP call (stacked on a new leading axis)
+        # so each level pays one set of collectives, not two.
         t1, t2 = (jnp.swapaxes(r, -1, -2) for r in conv.sdwt_step(
             jnp.swapaxes(cur, -1, -2), d, w.lo, w.hi))
-        w1, w2 = _atrous_level_cp(t1, d, S, w.lo, w.hi, axis, force)
-        w3, w4 = _atrous_level_cp(t2, d, S, w.lo, w.hi, axis, force)
-        return w1, w2, w3, w4
+        tlo, thi = _atrous_level_cp(jnp.stack([t1, t2]), d, S, w.lo, w.hi,
+                                    axis, force)
+        return tlo[0], thi[0], tlo[1], thi[1]
 
     def inner(xl):
         cur = xl
