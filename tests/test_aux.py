@@ -135,3 +135,21 @@ def test_wiggle_data():
     # zero crossings inserted -> more points than samples, zeros present
     assert len(traces[0]["t"]) >= 32
     assert np.max(np.abs(np.concatenate([t["amp"] for t in traces]))) <= 1.0
+
+
+def test_viz_renders_with_matplotlib(tmp_path):
+    """matplotlib IS available in this image: the render paths must produce
+    real figures/PNGs (reference test/visualizations.jl smoke category)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from waveletsext_tpu import viz
+
+    ax = viz.plot_tfbdry(wx.maketree(16, 4, "dwt"))
+    fig = ax.figure
+    fig.savefig(tmp_path / "tfbdry.png")
+    ax2 = viz.plot_tfbdry2(wx.maketree2d(16, 16, 2, "full"), 16, 16)
+    ax2.figure.savefig(tmp_path / "tfbdry2.png")
+    ax3 = viz.wiggle(RNG.standard_normal((64, 5)))
+    ax3.figure.savefig(tmp_path / "wiggle.png")
+    for f in ("tfbdry.png", "tfbdry2.png", "wiggle.png"):
+        assert (tmp_path / f).stat().st_size > 1000, f

@@ -2,7 +2,7 @@
 
 Re-implements /root/reference/src/mod/Visualizations.jl with a split design:
 pure-numpy *data* computation (always available, testable headless) and
-optional matplotlib *rendering* (this image has no plotting backend baked in,
+optional matplotlib *rendering* (matplotlib/Agg is available here,
 so rendering is lazily imported and cleanly gated).
 
 * ``treenodes_matrix`` — BitVector -> (level, position) bool matrix
