@@ -67,8 +67,14 @@ def apijit(*static_names):
             from .kernels import conv
             jf = jits.get(conv.MATMUL_PRECISION)
             if jf is None:
+                # inline=True: when a public transform is traced inside a
+                # larger jitted program (fused pipelines, benchmark chains),
+                # inline it instead of emitting a nested pjit call — a
+                # non-inlined call inside a fori_loop body measured ~2x
+                # slower on TPU (see BENCHMARKS.md round-2 notes).  Top-level
+                # calls still compile and cache per signature as before.
                 jf = jits[conv.MATMUL_PRECISION] = jax.jit(
-                    fn, static_argnames=static_names)
+                    fn, static_argnames=static_names, inline=True)
             b = sig.bind(*args, **kwargs)
             b.apply_defaults()
             for name in static_names:

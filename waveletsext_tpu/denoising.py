@@ -362,7 +362,7 @@ import functools as _functools
 
 
 @_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
-                                              "smooth"))
+                                              "smooth"), inline=True)
 def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
                                smooth: str = "regular"):
     """VisuShrink denoising in the best basis, fully fused.
@@ -414,7 +414,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
 
 
 @_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
-                                              "smooth"))
+                                              "smooth"), inline=True)
 def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
                                 soft: bool = False, smooth: str = "regular"):
     """2-D analog of :func:`bestbasis_denoise_pipeline` for image batches

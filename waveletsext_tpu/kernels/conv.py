@@ -171,6 +171,19 @@ def analysis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray):
                         nodes.dtype)
         return jnp.matmul(nodes, A, precision=MATMUL_PRECISION)
     L = len(lo)
+    h = m // 2
+    if L % 2 == 0 and L // 2 <= h:
+        # Polyphase: correlate the even/odd input cosets with the matching
+        # filter parity — half the fma volume of the full-rate correlate +
+        # even-select (w1[i] = Σ_p lo[2p]·xe[i+p] + lo[2p+1]·xo[i+p]; w2's
+        # full-rate offset 2−L is even so its coset offset is 1−L/2).
+        cos = nodes.reshape(*nodes.shape[:-1], h, 2)
+        xe, xo = cos[..., 0], cos[..., 1]
+        w1 = (_circ_correlate(xe, np.asarray(lo[0::2]), 0)
+              + _circ_correlate(xo, np.asarray(lo[1::2]), 0))
+        w2 = (_circ_correlate(xe, np.asarray(hi[0::2]), 1 - L // 2)
+              + _circ_correlate(xo, np.asarray(hi[1::2]), 1 - L // 2))
+        return jnp.concatenate([w1, w2], axis=-1)
     w1 = _even(_window_correlate(nodes, lo, 0))
     w2 = _even(_window_correlate(nodes, hi, 2 - L))
     return jnp.concatenate([w1, w2], axis=-1)

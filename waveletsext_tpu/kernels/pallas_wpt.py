@@ -33,19 +33,34 @@ from . import conv as _conv
 
 
 def _node_level(node, lo, hi):
-    """(m, TB) node -> (w1, w2) each (m//2, TB), signal on sublanes."""
+    """(m, TB) node -> (w1, w2) each (m//2, TB), signal on sublanes.
+
+    Polyphase: split the node into even/odd sublane cosets first, then
+    correlate each coset with the matching filter parity — half the VPU fma
+    volume of correlating at full length and discarding odd outputs
+    (w1[i] = sum_p lo[2p]·xe[i+p] + lo[2p+1]·xo[i+p], and w2 likewise with
+    a 1−F/2 coset offset since its full-rate offset 2−F is even)."""
     m = node.shape[0]
     F = len(lo)
-    xall = jnp.concatenate([node[m - (F - 2):], node, node[:F]], axis=0)
-    a1 = None
-    a2 = None
-    for t in range(F):
-        w1t = float(lo[t]) * xall[F - 2 + t: F - 2 + t + m]
-        a1 = w1t if a1 is None else a1 + w1t
-        w2t = float(hi[t]) * xall[t: t + m]
-        a2 = w2t if a2 is None else a2 + w2t
-    w1 = a1.reshape(m // 2, 2, a1.shape[-1])[:, 0, :]
-    w2 = a2.reshape(m // 2, 2, a2.shape[-1])[:, 0, :]
+    h = m // 2
+    if F % 2 or F // 2 > h:  # odd-length filter / tiny node: full-rate path
+        xall = jnp.concatenate([node[m - (F - 2):], node, node[:F]], axis=0)
+        a1 = None
+        a2 = None
+        for t in range(F):
+            w1t = float(lo[t]) * xall[F - 2 + t: F - 2 + t + m]
+            a1 = w1t if a1 is None else a1 + w1t
+            w2t = float(hi[t]) * xall[t: t + m]
+            a2 = w2t if a2 is None else a2 + w2t
+        w1 = a1.reshape(h, 2, a1.shape[-1])[:, 0, :]
+        w2 = a2.reshape(h, 2, a2.shape[-1])[:, 0, :]
+        return w1, w2
+    cos = node.reshape(h, 2, node.shape[-1])
+    xe, xo = cos[:, 0, :], cos[:, 1, :]
+    w1 = (_sublane_correlate(xe, np.asarray(lo[0::2]), 0)
+          + _sublane_correlate(xo, np.asarray(lo[1::2]), 0))
+    w2 = (_sublane_correlate(xe, np.asarray(hi[0::2]), 1 - F // 2)
+          + _sublane_correlate(xo, np.asarray(hi[1::2]), 1 - F // 2))
     return w1, w2
 
 
@@ -91,10 +106,14 @@ def _node_level_inv(node, lo, hi):
 
 def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi, precision):
     def kernel(y_ref, s_ref, x_ref):
-        cur = y_ref[:].T  # (n, TB), signal on sublanes
+        # Compute in f32 regardless of the storage dtype: bf16 inputs pay
+        # only at the HBM boundary (the point of the mode is bandwidth), and
+        # a DEFAULT-precision dot rounds f32 operands to bf16 internally
+        # anyway, so this costs no MXU passes.
+        cur = y_ref[:].T.astype(jnp.float32)  # (n, TB), signal on sublanes
         if shallow < L:
             m0 = n >> shallow
-            st = s_ref[:]  # (m0, m0) = S^T
+            st = s_ref[:].astype(jnp.float32)  # (m0, m0) = S^T
             prec = precision
             if prec == jax.lax.Precision.HIGH:
                 prec = jax.lax.Precision.HIGHEST
@@ -102,7 +121,7 @@ def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi, precision):
             for b in range(1 << shallow):
                 node = cur[b * m0:(b + 1) * m0]
                 pieces.append(jnp.dot(st, node,
-                                      preferred_element_type=node.dtype,
+                                      preferred_element_type=jnp.float32,
                                       precision=prec))
             cur = jnp.concatenate(pieces, axis=0)
         for d in range(shallow - 1, -1, -1):
@@ -111,12 +130,13 @@ def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi, precision):
             for b in range(1 << d):
                 outs.append(_node_level_inv(cur[b * m:(b + 1) * m], lo, hi))
             cur = jnp.concatenate(outs, axis=0)
-        x_ref[:] = cur.T
+        x_ref[:] = cur.T.astype(x_ref.dtype)
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wt", "L", "block_b", "precision"))
+                   static_argnames=("wt", "L", "block_b", "precision"),
+                   inline=True)
 def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None):
     """Fused 1-D inverse WPT (int levels) for (B, n) float32/bfloat16 on TPU
     — the mirror of :func:`wpt_pallas`: one composed per-node synthesis
@@ -161,7 +181,8 @@ def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None):
 
 def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
     def kernel(x_ref, a_ref, y_ref):
-        cur = x_ref[:].T  # (n, TB), signal on sublanes
+        # f32 compute regardless of storage dtype (see _make_kernel_inv).
+        cur = x_ref[:].T.astype(jnp.float32)  # (n, TB), signal on sublanes
         for d in range(shallow):
             m = n >> d
             outs = []
@@ -172,7 +193,7 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
             cur = jnp.concatenate(outs, axis=0)
         if shallow < L:
             m0 = n >> shallow
-            at = a_ref[:]  # (m0, m0) = A^T
+            at = a_ref[:].astype(jnp.float32)  # (m0, m0) = A^T
             pieces = []
             for b in range(1 << shallow):
                 node = cur[b * m0:(b + 1) * m0]
@@ -182,15 +203,16 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
                 if prec == jax.lax.Precision.HIGH:
                     prec = jax.lax.Precision.HIGHEST
                 pieces.append(jnp.dot(at, node,
-                                      preferred_element_type=node.dtype,
+                                      preferred_element_type=jnp.float32,
                                       precision=prec))
             cur = jnp.concatenate(pieces, axis=0)
-        y_ref[:] = cur.T
+        y_ref[:] = cur.T.astype(y_ref.dtype)
     return kernel
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wt", "L", "block_b", "precision"))
+                   static_argnames=("wt", "L", "block_b", "precision"),
+                   inline=True)
 def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None):
     """Fused 1-D WPT (int levels) for (B, n) float32/bfloat16 on TPU.
 

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("p",))
+@functools.partial(jax.jit, static_argnames=("p",), inline=True)
 def relativenorm(x, x0, p: float = 2.0):
     """||x - x0||_p / ||x0||_p (utils_metrics.jl:29-34)."""
     diff = jnp.abs(x - x0) ** p
@@ -64,7 +64,7 @@ def _filter2_same_1d(img, w, axis):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("peak",))
+@functools.partial(jax.jit, static_argnames=("peak",), inline=True)
 def ssim(x, x0, peak: float = 1.0):
     """Mean SSIM over the image(s) ``(..., n, m)`` (utils_metrics.jl:133-135
     semantics; standard Wang et al. parameters)."""

@@ -37,7 +37,7 @@ def _wt(wt) -> Wavelet:
     return _wavelet(wt) if isinstance(wt, str) else wt
 
 
-@functools.partial(jax.jit, static_argnames=("wtname", "s"))
+@functools.partial(jax.jit, static_argnames=("wtname", "s"), inline=True)
 def _sidwt_step(v, wtname: str, s: int):
     w = _wavelet(wtname)
     F = len(w.lo)
@@ -47,7 +47,7 @@ def _sidwt_step(v, wtname: str, s: int):
     return w1, w2
 
 
-@functools.partial(jax.jit, static_argnames=("wtname", "s"))
+@functools.partial(jax.jit, static_argnames=("wtname", "s"), inline=True)
 def _isidwt_step(w1, w2, wtname: str, s: int):
     w = _wavelet(wtname)
     v = conv.synthesis_step(w1, w2, w.lo, w.hi)

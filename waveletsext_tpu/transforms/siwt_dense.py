@@ -123,7 +123,7 @@ def siwpd_dense(x, wt, L: int | None = None, d: int | None = None):
     return _siwpd_dense_jit(x, _wt(wt).name, L)
 
 
-@functools.partial(jax.jit, static_argnames=("wtname", "L"))
+@functools.partial(jax.jit, static_argnames=("wtname", "L"), inline=True)
 def _siwpd_dense_jit(x, wtname: str, L: int):
     vals = _decompose(x, wtname, L)
     nrm = jnp.linalg.norm(x, axis=-1)
@@ -169,7 +169,7 @@ def bestbasis_dense(costs, L: int | None = None, d: int | None = None):
     return _bestbasis_dense_jit(costs, L, d)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "budget"))
+@functools.partial(jax.jit, static_argnames=("L", "budget"), inline=True)
 def _bestbasis_dense_jit(costs, L: int, budget: int):
     return _bestbasis_sweep(costs, L, budget)
 
@@ -199,7 +199,7 @@ def isiwpd_dense(vals, decisions, wt):
     return _isiwpd_dense_jit(vals, decisions, _wt(wt).name, L)
 
 
-@functools.partial(jax.jit, static_argnames=("wtname", "L"))
+@functools.partial(jax.jit, static_argnames=("wtname", "L"), inline=True)
 def _isiwpd_dense_jit(vals, decisions, wtname: str, L: int):
     return _reconstruct_sweep(vals, decisions, wtname, L)
 
