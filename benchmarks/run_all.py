@@ -130,6 +130,14 @@ def main():
     record("c2b_bball_fused", slope_time(c2b_fused, x2, 16, 128), B2 * n2,
            {"B": B2, "n": n2})
 
+    # larger-batch variant: the reference-size c2 program is ~0.05 ms —
+    # latency-bound on the tunnel — so also measure the same pipeline at a
+    # size where the chip is the bound (CLAUDE.md round-3 note).
+    B2b = 2048 if QUICK else 16384
+    x2b = jnp.asarray(rng.standard_normal((B2b, n2)).astype(np.float32))
+    record("c2_jbb_fused_16k", slope_time(c2_fused, x2b, 8, 64), B2b * n2,
+           {"B": B2b, "n": n2})
+
     # -- config 3: SWT/ACWT + SURE denoising of noisy HeaviSine batch --------
     B3 = 32 if QUICK else 256
     n3 = 256
@@ -171,6 +179,15 @@ def main():
     record("c3b_bb_denoise_fused", slope_time(bb_den, x3, 8, 128),
            B3 * n3, {"B": B3, "n": n3})
 
+    # larger-batch denoise variants (see c2_jbb_fused_16k note)
+    B3b = 512 if QUICK else 4096
+    x3b = jnp.asarray(wx.duplicatesignals(base, B3b, 2, True, 0.5,
+                                          rng=rng).astype(np.float32))
+    record("c3_swt_denoise_fused_4k", slope_time(swt_pipe, x3b, 4, 32),
+           B3b * n3, {"B": B3b, "n": n3})
+    record("c3b_bb_denoise_fused_4k", slope_time(bb_den, x3b, 4, 32),
+           B3b * n3, {"B": B3b, "n": n3})
+
     # PSNR quality gate (must beat noisy input)
     y3 = dn.denoise(wx.sdwt(x3, "db4"), "sdwt", "db4", smooth="undersmooth")
     x0 = jnp.asarray(wx.duplicatesignals(base, B3, 2).astype(np.float32))
@@ -197,6 +214,18 @@ def main():
     c4_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L4, is2d=True)[1]
     record("c4_jbb_2d_fused", slope_time(c4_fused, x4, 2, 16),
            B4 * n4 * n4, {"B": B4})
+
+    # relaxed-precision opt-in (DEFAULT dots, ~2e-3 rel rms — see
+    # BENCHMARKS.md precision ladder): measures the documented throughput
+    # mode; the accurate HIGHEST numbers above stay the headline.
+    wx.set_matmul_precision("default")
+    record("wpt_forward_relaxed", slope_time(fw, x, 8, 128), B * n,
+           {"B": B, "n": n, "precision": "default"})
+    record("c4_wpt2d_512_relaxed", slope_time(fw2, x4, 2, 16),
+           B4 * n4 * n4, {"B": B4, "precision": "default"})
+    record("c4_jbb_2d_fused_relaxed", slope_time(c4_fused, x4, 2, 16),
+           B4 * n4 * n4, {"B": B4, "precision": "default"})
+    wx.set_matmul_precision("highest")
 
     # -- config 5: LDB pipeline on triangular 3-class dataset ---------------
     Xc5, y5 = wx.generateclassdata(wx.ClassData("tri", 33, 33, 33), rng=rng)

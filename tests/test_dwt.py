@@ -144,3 +144,37 @@ def test_iwpt_dyn_unbatched_signal_batched_trees():
     rec3 = wx.iwpt_dyn(y[0], "db4", jnp.asarray(trees))
     assert rec3.shape == (2, 64)
     assert np.allclose(np.asarray(rec3[0]), np.asarray(x), atol=1e-10)
+
+
+@pytest.mark.parametrize("wt", ["haar", "db4", "db10", "sym6", "coif4",
+                                "batt2"])
+def test_polyphase_analysis_matches_fullrate(wt):
+    """The polyphase even/odd-coset analysis branch (used above the matmul
+    cutoff) must equal the full-rate correlate + even-select formulation at
+    f64 for every filter family."""
+    w = wx.wavelet(wt)
+    n = 4096  # above MATMUL_CUTOFF so the conv/polyphase branch runs
+    x = jnp.asarray(RNG.standard_normal((3, n)))
+    got = conv.analysis_step_packed(x, w.lo, w.hi)
+    L = len(w.lo)
+    w1 = conv._even(conv._window_correlate(x, w.lo, 0))
+    w2 = conv._even(conv._window_correlate(x, w.hi, 2 - L))
+    want = jnp.concatenate([w1, w2], axis=-1)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+def test_precision_keyed_pipeline_retrace():
+    """set_matmul_precision must retrace the fused pipelines (apijit keys
+    the jit cache on the precision global), not silently reuse the old
+    executable."""
+    import jax
+    x = jnp.asarray(RNG.standard_normal((4, 256)).astype(np.float32))
+    try:
+        wx.set_matmul_precision("highest")
+        wx.bestbasis_pipeline(x, "db4", 3)
+        wx.set_matmul_precision("default")
+        wx.bestbasis_pipeline(x, "db4", 3)
+        keys = set(wx.bestbasis_pipeline.__jits__)
+        assert {jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT} <= keys
+    finally:
+        wx.set_matmul_precision("highest")

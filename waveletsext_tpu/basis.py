@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from .trees import (maketree, maketree2d, maxtransformlevels, getdepth,
                     gettreelength, getchildindex, isvalidtree)
 from .utils import getrowrange, getcolrange
+from ._jit import apijit
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +230,7 @@ def _redundant_node_costs(table, cost, nrm=None, quad=False):
     return costs * jnp.asarray(scale)
 
 
-@functools.partial(jax.jit, static_argnames=("method", "is2d"))
+@apijit("method", "is2d")
 def tree_costs(X, method, is2d: bool = False):
     """Per-node cost vector for a batch of decomposed signals
     (bestbasis_tree.jl:104-256).
@@ -581,7 +582,7 @@ def _pipeline_dims(x, L, is2d):
     return n, None, _default_levels(n, L), x.ndim == 1
 
 
-@functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
+@apijit("wt", "L", "method", "is2d")
 def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     """The fused §3.1 "training" loop: batch WPD -> per-node costs -> CW
     selection -> basis-coefficient extraction, one XLA program end to end
@@ -603,7 +604,7 @@ def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     return tree, coefs
 
 
-@functools.partial(jax.jit, static_argnames=("wt", "L", "method", "is2d"))
+@apijit("wt", "L", "method", "is2d")
 def bestbasisall_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     """Fused per-signal best-basis: streamed BB costs -> batched CW
     selection -> per-signal extraction, one program (reference:

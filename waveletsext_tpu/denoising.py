@@ -361,8 +361,7 @@ def denoiseall(x, inputtype: str, wt, **kwargs):
 import functools as _functools
 
 
-@_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
-                                              "smooth"), inline=True)
+@apijit("wt", "L", "method", "soft", "smooth")
 def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
                                smooth: str = "regular"):
     """VisuShrink denoising in the best basis, fully fused.
@@ -413,8 +412,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     return _dwt_mod.iwpt_dyn(shrunk, wt, tree).reshape(lead + (n,))
 
 
-@_functools.partial(jax.jit, static_argnames=("wt", "L", "method", "soft",
-                                              "smooth"), inline=True)
+@apijit("wt", "L", "method", "soft", "smooth")
 def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
                                 soft: bool = False, smooth: str = "regular"):
     """2-D analog of :func:`bestbasis_denoise_pipeline` for image batches

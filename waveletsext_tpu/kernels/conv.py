@@ -37,11 +37,11 @@ MATMUL_PRECISION = jax.lax.Precision.HIGHEST
 def set_matmul_precision(p):
     """Set the MXU precision used by the dense operator fast paths.
 
-    Takes effect immediately for every public transform: the apijit
-    dispatch layer (_jit.apijit) keys its jit cache on this global, so a
-    precision change re-traces on the next call.  The fused pipeline entry
-    points (basis.bestbasis_pipeline etc.) are plain jax.jit and bake the
-    precision at their first trace — set the precision before using those.
+    Takes effect immediately for every public transform AND the fused
+    pipeline entry points (basis.bestbasis_pipeline, the denoise pipelines):
+    all go through the apijit dispatch layer (_jit.apijit), which keys its
+    jit cache on this global, so a precision change re-traces on the next
+    call instead of silently reusing old executables.
     """
     global MATMUL_PRECISION
     MATMUL_PRECISION = jax.lax.Precision(p) if isinstance(p, str) else p
