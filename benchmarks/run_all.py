@@ -263,6 +263,16 @@ def main():
     record("c5b_ldb_fused_4k", slope_time(c5_fused, Xb, 8, 64), Xb.size,
            {"N": 3 * Nb})
 
+    # -- config 6: dense batched SIWT (siwpd -> 3-way best basis ->
+    # threshold -> inverse, one program; reference runs this as a host dict
+    # recursion, SIWT.jl:93-136) ------------------------------------------
+    B6 = 64 if QUICK else 256
+    n6, L6 = 128, 4
+    x6 = jnp.asarray(rng.standard_normal((B6, n6)).astype(np.float32))
+    siwt_pipe = lambda a: wx.siwt_bestbasis_pipeline(a, "db4", L6)[0]
+    record("c6_siwt_bb_pipeline", slope_time(siwt_pipe, x6, 8, 64),
+           B6 * n6, {"B": B6, "n": n6, "L": L6})
+
     # quick/CPU smoke runs must not clobber the committed on-chip artifact
     name = ("all_results.json" if not QUICK and "TPU" in dev
             else "all_results_quick.json")

@@ -135,9 +135,11 @@ def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi, precision):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wt", "L", "block_b", "precision"),
+                   static_argnames=("wt", "L", "block_b", "precision",
+                                    "in_cutoff"),
                    inline=True)
-def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None):
+def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None,
+                in_cutoff: int | None = None):
     """Fused 1-D inverse WPT (int levels) for (B, n) float32/bfloat16 on TPU
     — the mirror of :func:`wpt_pallas`: one composed per-node synthesis
     contraction on the MXU for the deep levels, then the shallow inverse
@@ -145,7 +147,8 @@ def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None):
     w = _wavelet(wt) if isinstance(wt, str) else wt
     precision = _conv.MATMUL_PRECISION if precision is None else precision
     B, n = y.shape
-    cutoff = min(512, _ops.MATMUL_CUTOFF)
+    cutoff = (min(512, _ops.MATMUL_CUTOFF) if in_cutoff is None
+              else in_cutoff)
     shallow = 0
     while shallow < L and (n >> shallow) > cutoff:
         shallow += 1
@@ -211,9 +214,11 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("wt", "L", "block_b", "precision"),
+                   static_argnames=("wt", "L", "block_b", "precision",
+                                    "in_cutoff"),
                    inline=True)
-def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None):
+def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None,
+               in_cutoff: int | None = None):
     """Fused 1-D WPT (int levels) for (B, n) float32/bfloat16 on TPU.
 
     ``precision=None`` reads conv.MATMUL_PRECISION at call time; it is a
@@ -226,7 +231,8 @@ def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None):
     # (2*n*m0/signal in the composed dot) for two more window levels wins —
     # measured 11.5 -> 13.4 Gsps at 512 on v5e (128/64 regress: slice
     # unrolling dominates).
-    cutoff = min(512, _ops.MATMUL_CUTOFF)
+    cutoff = (min(512, _ops.MATMUL_CUTOFF) if in_cutoff is None
+              else in_cutoff)
     shallow = 0
     while shallow < L and (n >> shallow) > cutoff:
         shallow += 1
