@@ -218,14 +218,16 @@ def main():
     # relaxed-precision opt-in (DEFAULT dots, ~2e-3 rel rms — see
     # BENCHMARKS.md precision ladder): measures the documented throughput
     # mode; the accurate HIGHEST numbers above stay the headline.
-    wx.set_matmul_precision("default")
-    record("wpt_forward_relaxed", slope_time(fw, x, 8, 128), B * n,
-           {"B": B, "n": n, "precision": "default"})
-    record("c4_wpt2d_512_relaxed", slope_time(fw2, x4, 2, 16),
-           B4 * n4 * n4, {"B": B4, "precision": "default"})
-    record("c4_jbb_2d_fused_relaxed", slope_time(c4_fused, x4, 2, 16),
-           B4 * n4 * n4, {"B": B4, "precision": "default"})
-    wx.set_matmul_precision("highest")
+    try:
+        wx.set_matmul_precision("default")
+        record("wpt_forward_relaxed", slope_time(fw, x, 8, 128), B * n,
+               {"B": B, "n": n, "precision": "default"})
+        record("c4_wpt2d_512_relaxed", slope_time(fw2, x4, 2, 16),
+               B4 * n4 * n4, {"B": B4, "precision": "default"})
+        record("c4_jbb_2d_fused_relaxed", slope_time(c4_fused, x4, 2, 16),
+               B4 * n4 * n4, {"B": B4, "precision": "default"})
+    finally:
+        wx.set_matmul_precision("highest")
 
     # -- config 5: LDB pipeline on triangular 3-class dataset ---------------
     Xc5, y5 = wx.generateclassdata(wx.ClassData("tri", 33, 33, 33), rng=rng)

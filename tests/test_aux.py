@@ -137,6 +137,21 @@ def test_wiggle_data():
     assert np.max(np.abs(np.concatenate([t["amp"] for t in traces]))) <= 1.0
 
 
+def test_relerror_data_matches_device_selector():
+    """viz.relerror_data's chosen threshold == the batched device selector
+    denoising.relerrorthreshold (Denoising.jl:285-328 single-signal path)."""
+    from waveletsext_tpu import denoising as dn
+    x = RNG.standard_normal(256)
+    coefs = np.asarray(wx.dwt(jnp.asarray(x), "db4", 4))
+    d = viz.relerror_data(coefs)
+    want = float(dn.relerrorthreshold(jnp.asarray(coefs)))
+    assert np.isclose(d["threshold"], want, rtol=1e-6)
+    assert len(d["ix"]) == 2 and d["ix"][1] <= d["ix"][0]
+    # curve is normalized to [0, 1] in both coordinates
+    assert 0.0 <= d["x"].min() and d["x"].max() == 1.0
+    assert d["y"].max() == 1.0
+
+
 def test_viz_renders_with_matplotlib(tmp_path):
     """matplotlib IS available in this image: the render paths must produce
     real figures/PNGs (reference test/visualizations.jl smoke category)."""
@@ -151,5 +166,9 @@ def test_viz_renders_with_matplotlib(tmp_path):
     ax2.figure.savefig(tmp_path / "tfbdry2.png")
     ax3 = viz.wiggle(RNG.standard_normal((64, 5)))
     ax3.figure.savefig(tmp_path / "wiggle.png")
-    for f in ("tfbdry.png", "tfbdry2.png", "wiggle.png"):
+    coefs = np.asarray(wx.dwt(jnp.asarray(RNG.standard_normal(128)),
+                              "db4", 3))
+    ax4 = viz.relerrorplot(coefs)
+    ax4.figure.savefig(tmp_path / "relerror.png")
+    for f in ("tfbdry.png", "tfbdry2.png", "wiggle.png", "relerror.png"):
         assert (tmp_path / f).stat().st_size > 1000, f

@@ -11,7 +11,8 @@ from waveletsext_tpu.filters import wavelet, SQRT2
 
 ALL_NAMES = (["haar"] + [f"db{i}" for i in range(1, 11)]
              + [f"sym{i}" for i in range(4, 11)]
-             + [f"coif{i}" for i in (2, 4, 6, 8)])
+             + [f"coif{i}" for i in (2, 4, 6, 8)]
+             + ["vaid", "beyl"])
 
 
 @pytest.mark.parametrize("name", ALL_NAMES)
@@ -86,6 +87,42 @@ def test_battle_lemarie(N):
     # bell: the peak is near the center and tails decay
     assert np.argmax(np.abs(h)) in range(len(h) // 2 - 2, len(h) // 2 + 3)
     assert np.max(np.abs(h[:4])) < 1e-2 and np.max(np.abs(h[-4:])) < 1e-2
+
+
+def test_vaid_beyl_tables():
+    """Table-backed Vaidyanathan/Beylkin: polished taps stay within table
+    truncation error of the published values (golden first/peak taps) and the
+    Beylkin filter keeps its near-Nyquist vanishing-moment behavior."""
+    # The published 12-digit tables sit ~1e-8 off exact orthonormality,
+    # and that residual lies along a nearly-flat direction of the manifold
+    # (smallest Jacobian singular value ~9e-5), so the exact-PR projection
+    # legitimately moves taps by up to ~1e-5 — golden tolerance 2e-5.
+    v = wavelet("vaid").lo
+    assert len(v) == 24
+    assert abs(v[0] - -0.000062906118) < 2e-5
+    assert abs(v[20] - 0.635601059872) < 2e-5
+    b = wavelet("beyl").lo
+    assert len(b) == 18
+    assert abs(b[0] - 0.099305765374) < 2e-5
+    assert abs(b[2] - 0.699825214057) < 2e-5
+    # beyl's roots near Nyquist give ~3 near-vanishing moments (second
+    # moment ~7e-6); vaid by design stops at the order-0 moment that
+    # orthogonality forces (its second moment is ~0.024)
+    assert abs(np.dot(wavelet("beyl").hi, np.arange(18.0) ** 2)) < 1e-4
+    assert abs(np.dot(wavelet("vaid").hi, np.arange(24.0) ** 2)) > 1e-3
+
+
+def test_vaid_beyl_roundtrip():
+    import jax.numpy as jnp
+    import waveletsext_tpu as wx
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((2, 128)))
+    for name in ("vaid", "beyl"):
+        y = wx.iwpt(wx.wpt(x, name, 3), name, 3)
+        assert np.allclose(np.asarray(y), np.asarray(x), atol=1e-10), name
+        # redundant families accept them too (any-OrthoFilter parity,
+        # /root/reference/src/mod/DWT.jl:141)
+        z = wx.isdwt(wx.sdwt(x, name, 2), name)
+        assert np.allclose(np.asarray(z), np.asarray(x), atol=1e-10), name
 
 
 def test_battle_lemarie_roundtrip():

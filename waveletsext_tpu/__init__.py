@@ -59,6 +59,7 @@ from .ldb import (EnergyMap, DiscriminantMeasure, ProbabilityDensityDM,
 from .compat import (ShiftInvariantWaveletTransformNode,
                      ShiftInvariantWaveletTransformObject)
 from .viz import (treenodes_matrix, tfbdry, tfbdry2, wiggle_data,
+                  relerror_data, relerrorplot,
                   plot_tfbdry, plot_tfbdry2, wiggle)
 
 __version__ = "0.1.0"

@@ -366,30 +366,32 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
                                smooth: str = "regular"):
     """VisuShrink denoising in the best basis, fully fused.
 
-    wpd -> per-node costs -> device CW selection (JBB shared tree, or
-    per-signal BB trees when ``method=BB()``) -> dynamic coefficient
-    extraction -> MAD sigma from the finest detail half (the reference's
-    ``noisest`` on a dwt layout, Denoising.jl:214-232) -> VisuShrink
-    t = sigma*sqrt(2 ln n) (Denoising.jl:124-126) -> hard/soft threshold
-    (``smooth="undersmooth"`` spares the coarsest scaling band,
-    Denoising.jl:561-565) -> dynamic-tree inverse.  Returns the denoised
-    batch; per-signal trees reconstruct in the same program.
+    Streamed costs -> device CW selection (JBB shared tree, or per-signal
+    BB trees when ``method=BB()``) -> streamed leaf-mask extraction (the
+    ``(L+1, n)`` wpd stack is never materialized — see basis._stream_costs;
+    the 2-D twin gained >2x from the same move) -> MAD sigma from a
+    recomputed level-1 detail half (the reference's ``noisest`` on a dwt
+    layout, Denoising.jl:214-232) -> VisuShrink t = sigma*sqrt(2 ln n)
+    (Denoising.jl:124-126) -> hard/soft threshold (``smooth="undersmooth"``
+    spares the coarsest scaling band, Denoising.jl:561-565) -> dynamic-tree
+    inverse.  Returns the denoised batch; per-signal trees reconstruct in
+    the same program.
     """
-    from .basis import (tree_costs, bestbasis_treeselection_dev, JBB, BB)
-    from .utils import getbasiscoef_dyn
+    from .basis import (_stream_costs, _stream_extract,
+                        bestbasis_treeselection_dev, JBB, BB)
+    from .transforms.dwt import _wpt_level_fwd, _default_levels, _wt
     method = JBB() if method is None else method
     n = x.shape[-1]
+    L = _default_levels(n, L)
     lead = x.shape[:-1]
     x = x.reshape((-1, n))  # flatten batch dims (JBB joins the lot)
-    xw = _dwt_mod.wpd(x, wt, L)
-    if isinstance(method, BB):
-        costs = jax.vmap(lambda s: tree_costs(s, method))(xw)
-    else:
-        costs = tree_costs(xw, method)
+    costs = _stream_costs(x, wt, L, method, False)
     tree = bestbasis_treeselection_dev(costs, n)
-    coefs = getbasiscoef_dyn(xw, tree)
-    # sigma: MAD of the finest-detail coefficients (level-1 high half)
-    dr = xw[..., 1, n // 2:]
+    coefs = _stream_extract(x, wt, L, tree, False)
+    # sigma: MAD of the finest-detail coefficients (level-1 high half),
+    # recomputed from one level step (cheap next to the stack it replaces)
+    w = _wt(wt)
+    dr = _wpt_level_fwd(x, 0, w.lo, w.hi)[..., n // 2:]
     med = jnp.median(dr, axis=-1, keepdims=True)
     sigma = jnp.median(jnp.abs(dr - med), axis=-1, keepdims=True) / 0.6745
     t = sigma * np.sqrt(2.0 * np.log(n))

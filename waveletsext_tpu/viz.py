@@ -124,6 +124,53 @@ def wiggle_data(wav: np.ndarray, sc: float = 1.0, zc: bool = True):
     return traces
 
 
+def relerror_data(coef, redundant: bool = False, tree=None, elbows: int = 2):
+    """Data for the threshold-vs-relative-error elbow diagnostic
+    (Denoising.jl:285-328 with ``makeplot=true``; curve from
+    ``orth2relerror`` :344-349, elbows from ``findelbow`` :367-381).
+
+    Host-side single-signal mirror of ``denoising.relerrorthreshold`` (the
+    batched device selector); returns a dict with the normalized curve
+    (``x``, ``y``), scales (``xmax``, ``ymax``), per-elbow indices ``ix`` and
+    the (A, v) projection data the reference's relerrorplot draws
+    (Denoising.jl:401-430), plus the chosen ``threshold``.
+    """
+    from .denoising import _relevant_coefs
+    c = np.asarray(_relevant_coefs(np.asarray(coef), redundant, tree)).ravel()
+    x = np.sort(np.abs(c))[::-1]
+    o = np.sort(c ** 2)[::-1]
+    tot = o.sum()
+    r = np.sqrt(np.abs(tot - np.cumsum(o))) / np.sqrt(tot)
+    x = np.concatenate([x, [0.0]])        # push!(x, 0)
+    r = np.concatenate([r[:1], r])        # pushfirst!(r, r[1])
+    xmax, ymax = x.max(), r.max()
+    xn = x[::-1] / xmax
+    yn = r[::-1] / ymax
+
+    def findelbow(xv, yv):
+        v = np.array([xv[-1] - xv[0], yv[-1] - yv[0]])
+        v = v / np.sqrt((v ** 2).sum())
+        dx, dy = xv - xv[0], yv - yv[0]
+        H2 = dx ** 2 + dy ** 2
+        A = dx * v[0] + dy * v[1]
+        O = np.sqrt(np.abs(H2 - A ** 2))
+        return int(np.argmax(O)), A, v
+
+    ix, As, vs = [], [], []
+    end = len(xn)
+    for _ in range(elbows):
+        i, A, v = findelbow(xn[:end], yn[:end])
+        ix.append(i)
+        As.append(A)
+        vs.append(v)
+        end = i + 1
+    return {
+        "x": xn, "y": yn, "xmax": float(xmax), "ymax": float(ymax),
+        "ix": ix, "A": As, "v": vs,
+        "threshold": float(xn[ix[-1]] * xmax),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Rendering (optional)
 # ---------------------------------------------------------------------------
@@ -151,6 +198,35 @@ def plot_tfbdry2(tree, n: int, m: int, ax=None, **kwargs):
                                    fill=False, **kwargs))
     ax.set_xlim(0, m)
     ax.set_ylim(n, 0)
+    return ax
+
+
+def relerrorplot(coef, redundant: bool = False, tree=None, elbows: int = 2,
+                 ax=None):
+    """Render the relative-error elbow diagnostic (Denoising.jl:401-430):
+    the blue error curve, per-elbow diagonal + perpendicular-drop lines and
+    highlighted elbow points.  Returns the matplotlib Axes."""
+    d = relerror_data(coef, redundant, tree, elbows)
+    plt = _require_matplotlib()
+    if ax is None:
+        _, ax = plt.subplots()
+    x = d["x"] * d["xmax"]
+    y = d["y"] * d["ymax"]
+    ax.plot(x, y, lw=2, color="tab:blue")
+    ax.set_xlim(0, 1.004 * d["xmax"])
+    ax.set_ylim(0, 1.004 * d["ymax"])
+    colors = ["tab:orange", "tab:green", "tab:red", "tab:purple"]
+    for i, (ix, A, v) in enumerate(zip(d["ix"], d["A"], d["v"])):
+        col = colors[i % len(colors)]
+        endpoint = d["ix"][i - 1] if i > 0 else len(x) - 1
+        ax.plot([x[0], 1.004 * x[endpoint]], [y[0], 1.004 * y[endpoint]],
+                lw=2, color=col)
+        dropto = (np.array([x[0], y[0]])
+                  + A[ix] * (v * np.array([d["xmax"], d["ymax"]])))
+        ax.plot([x[ix], dropto[0]], [y[ix], dropto[1]], lw=2, color=col)
+        ax.scatter([x[ix]], [y[ix]], color=col, zorder=3)
+    ax.set_xlabel("Threshold")
+    ax.set_ylabel("Relative Error")
     return ax
 
 
