@@ -134,18 +134,30 @@ def _make_kernel_inv(n: int, L: int, shallow: int, lo, hi, precision):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("wt", "L", "block_b", "precision",
-                                    "in_cutoff"),
-                   inline=True)
 def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None,
-                in_cutoff: int | None = None):
+                in_cutoff: int | None = None, interpret: bool = False):
     """Fused 1-D inverse WPT (int levels) for (B, n) float32/bfloat16 on TPU
     — the mirror of :func:`wpt_pallas`: one composed per-node synthesis
     contraction on the MXU for the deep levels, then the shallow inverse
-    window levels on the VPU, one VMEM trip per batch tile."""
-    w = _wavelet(wt) if isinstance(wt, str) else wt
+    window levels on the VPU, one VMEM trip per batch tile.
+
+    ``precision=None`` resolves conv.MATMUL_PRECISION *here*, in this
+    un-jitted wrapper, so the resolved value is the jit static key and
+    set_matmul_precision() re-traces direct top-level calls too.
+    ``interpret=True`` runs the kernel through the Pallas interpreter
+    (CPU-capable; used by the off-chip parity tests)."""
     precision = _conv.MATMUL_PRECISION if precision is None else precision
+    return _iwpt_pallas_jit(y, wt, L, block_b, precision, in_cutoff,
+                            interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "block_b", "precision",
+                                    "in_cutoff", "interpret"),
+                   inline=True)
+def _iwpt_pallas_jit(y, wt, L: int, block_b: int, precision,
+                     in_cutoff: int | None, interpret: bool):
+    w = _wavelet(wt) if isinstance(wt, str) else wt
     B, n = y.shape
     cutoff = (min(512, _ops.MATMUL_CUTOFF) if in_cutoff is None
               else in_cutoff)
@@ -179,6 +191,7 @@ def iwpt_pallas(y, wt: str, L: int, block_b: int = 128, precision=None,
             flops=flops, bytes_accessed=2 * B * n * y.dtype.itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
     )(y, St)
 
 
@@ -213,18 +226,27 @@ def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("wt", "L", "block_b", "precision",
-                                    "in_cutoff"),
-                   inline=True)
 def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None,
-               in_cutoff: int | None = None):
+               in_cutoff: int | None = None, interpret: bool = False):
     """Fused 1-D WPT (int levels) for (B, n) float32/bfloat16 on TPU.
 
-    ``precision=None`` reads conv.MATMUL_PRECISION at call time; it is a
-    static arg so set_matmul_precision() re-traces this path too."""
-    w = _wavelet(wt) if isinstance(wt, str) else wt
+    ``precision=None`` resolves conv.MATMUL_PRECISION *here*, in this
+    un-jitted wrapper, so the resolved value is the jit static key and
+    set_matmul_precision() re-traces direct top-level calls too (apijit
+    callers already re-trace via their own precision-keyed cache).
+    ``interpret=True`` runs through the Pallas interpreter (CPU tests)."""
     precision = _conv.MATMUL_PRECISION if precision is None else precision
+    return _wpt_pallas_jit(x, wt, L, block_b, precision, in_cutoff,
+                           interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "block_b", "precision",
+                                    "in_cutoff", "interpret"),
+                   inline=True)
+def _wpt_pallas_jit(x, wt, L: int, block_b: int, precision,
+                    in_cutoff: int | None, interpret: bool):
+    w = _wavelet(wt) if isinstance(wt, str) else wt
     B, n = x.shape
     # The in-kernel cutoff differs from the XLA path's MATMUL_CUTOFF: shallow
     # window levels are cheap on the VPU here, so trading MXU flops
@@ -265,4 +287,5 @@ def wpt_pallas(x, wt: str, L: int, block_b: int = 128, precision=None,
         # fp32-accurate (6-pass) MXU dots need extra scratch beyond the
         # default 16MB scoped-vmem budget; v5e has 128MB physical VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
+        interpret=interpret,
     )(x, At)

@@ -1,0 +1,236 @@
+"""Pallas fused 2-D WPT kernels for TPU.
+
+The 2-D packet transform is separable and its column/row ops commute across
+levels (the same fact the XLA composed path exploits, transforms/dwt.py
+_composed_fwd2), so one batch tile makes a single trip through VMEM:
+
+* the shallow levels (blocks larger than the in-kernel cutoff) run as
+  polyphase window correlates on the VPU — always along the sublane axis,
+  with one transpose per pass so the row pass reuses the identical
+  sublane-correlate form (Mosaic on this toolchain supports transposes and
+  sublane slices but not lane-dim splits; see pallas_wpt.py);
+* every remaining level collapses into one composed per-node orthogonal
+  operator contraction per axis on the MXU (kernels/operators.py).
+
+HBM traffic is one read + one write of the image tile; the XLA path
+materializes every level (or, for the pure composed path, the intermediate
+of the two full-size matmuls).  Cost model (v5e, HIGHEST = 6-pass f32 MXU):
+the pure composed path at n=512 spends 2·n·m·(n+m) MXU flops/image; two
+shallow VPU levels cut the composed side to 128-blocks — 4x fewer MXU flops
+for 2·2·F·nm VPU flops/level, a large win when the MXU runs multi-pass.
+
+Reference semantics: dwt_one_level.jl:319-354 (columns then rows per level);
+numerically equivalent to transforms.dwt.wpt2 up to f32 summation order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..filters import wavelet as _wavelet
+from . import operators as _ops
+from . import conv as _conv
+from .pallas_wpt import _node_level, _node_level_inv
+
+
+def _mosaic_prec(precision):
+    # Mosaic supports only DEFAULT/HIGHEST dot precision; map the XLA-only
+    # HIGH (bf16_3x) to HIGHEST inside the kernel
+    if precision == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.HIGHEST
+    return precision
+
+
+def _make_kernel2(n: int, m: int, L: int, shallow: int, lo, hi, precision):
+    prec = _mosaic_prec(precision)
+
+    def kernel(x_ref, an_ref, am_ref, y_ref):
+        # f32 compute regardless of storage dtype (see pallas_wpt.py)
+        cur = x_ref[0].astype(jnp.float32)  # (n, m)
+        dims = (n, m)
+        for d in range(shallow):
+            for axis in range(2):  # columns pass, then (transposed) rows pass
+                bs = dims[axis] >> d
+                pieces = []
+                for p in range(1 << d):
+                    w1, w2 = _node_level(cur[p * bs:(p + 1) * bs, :], lo, hi)
+                    pieces.append(w1)
+                    pieces.append(w2)
+                cur = jnp.concatenate(pieces, axis=0).T
+        if shallow < L:
+            for axis in range(2):
+                bs = dims[axis] >> shallow
+                at = (an_ref if axis == 0 else am_ref)[:].astype(jnp.float32)
+                pieces = []
+                for p in range(1 << shallow):
+                    node = cur[p * bs:(p + 1) * bs, :]
+                    pieces.append(jnp.dot(at, node,
+                                          preferred_element_type=jnp.float32,
+                                          precision=prec))
+                cur = jnp.concatenate(pieces, axis=0).T
+        y_ref[0] = cur.astype(y_ref.dtype)
+    return kernel
+
+
+def _make_kernel2_inv(n: int, m: int, L: int, shallow: int, lo, hi,
+                      precision):
+    prec = _mosaic_prec(precision)
+
+    def kernel(y_ref, sn_ref, sm_ref, x_ref):
+        cur = y_ref[0].astype(jnp.float32)  # (n, m)
+        dims = (n, m)
+        if shallow < L:
+            for axis in range(2):
+                bs = dims[axis] >> shallow
+                st = (sn_ref if axis == 0 else sm_ref)[:].astype(jnp.float32)
+                pieces = []
+                for p in range(1 << shallow):
+                    node = cur[p * bs:(p + 1) * bs, :]
+                    pieces.append(jnp.dot(st, node,
+                                          preferred_element_type=jnp.float32,
+                                          precision=prec))
+                cur = jnp.concatenate(pieces, axis=0).T
+        for d in range(shallow - 1, -1, -1):
+            for axis in range(2):
+                bs = dims[axis] >> d
+                pieces = []
+                for p in range(1 << d):
+                    pieces.append(_node_level_inv(
+                        cur[p * bs:(p + 1) * bs, :], lo, hi))
+                cur = jnp.concatenate(pieces, axis=0).T
+        x_ref[0] = cur.astype(x_ref.dtype)
+    return kernel
+
+
+def _shallow_levels(n: int, m: int, L: int, cutoff: int) -> int:
+    s = 0
+    while s < L and (min(n, m) >> s) > cutoff:
+        s += 1
+    return s
+
+
+def _composed_pair(w, n, m, shallow, L, dtype, synthesis: bool):
+    """(op_n^T, op_m^T) composed deep operators as jnp constants (transposed:
+    the kernels contract ``op^T @ node`` with the signal on sublanes)."""
+    tk = _ops.taps_key(w.lo, w.hi)
+    make = (_ops.composed_synthesis_operator if synthesis
+            else _ops.composed_analysis_operator)
+    bn, bm = n >> shallow, m >> shallow
+    On = make(tk, bn, L - shallow)
+    Om = On if bm == bn else make(tk, bm, L - shallow)
+    OnT = jnp.asarray(np.ascontiguousarray(On.T), dtype)
+    OmT = OnT if Om is On else jnp.asarray(np.ascontiguousarray(Om.T), dtype)
+    return OnT, OmT
+
+
+def _flops2(B, n, m, F, shallow, deep_bs):
+    # per image: shallow VPU passes (2 axes x 2 filters x F fmas per sample
+    # per level) + composed contractions (2 sides x 2*n*m*bs)
+    return 2 * B * n * m * (2 * F * 2 * shallow + 2 * deep_bs)
+
+
+def wpt2_pallas(x, wt: str, L: int, precision=None,
+                in_cutoff: int | None = None, interpret: bool = False):
+    """Fused 2-D WPT (int levels) for (B, n, m) float32/bfloat16 on TPU.
+
+    ``precision=None`` resolves conv.MATMUL_PRECISION here (un-jitted), so
+    the resolved value is the jit static key and set_matmul_precision()
+    re-traces direct calls.  ``interpret=True`` runs the Pallas interpreter
+    (CPU parity tests)."""
+    precision = _conv.MATMUL_PRECISION if precision is None else precision
+    return _wpt2_pallas_jit(x, wt, L, precision, in_cutoff, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "precision", "in_cutoff",
+                                    "interpret"),
+                   inline=True)
+def _wpt2_pallas_jit(x, wt, L: int, precision, in_cutoff: int | None,
+                     interpret: bool):
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    B, n, m = x.shape
+    # In-kernel cutoff: smaller than the XLA path's MATMUL_CUTOFF — shallow
+    # window levels are cheap on the VPU while every extra composed block
+    # size doubles the MXU volume (2*n*m*bs flops/side).  128 measured best
+    # at HIGHEST on v5e for the 512x512 c4 config (see BENCHMARKS.md).
+    cutoff = 128 if in_cutoff is None else in_cutoff
+    shallow = _shallow_levels(n, m, L, cutoff)
+    if shallow < L:
+        AnT, AmT = _composed_pair(w, n, m, shallow, L, x.dtype, False)
+    else:
+        AnT = AmT = jnp.zeros((8, 128), x.dtype)  # unused
+    kernel = _make_kernel2(n, m, L, shallow, w.lo, w.hi, precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(AnT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(AmT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, m), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=_flops2(B, n, m, len(w.lo), shallow, min(n, m) >> shallow),
+            bytes_accessed=2 * B * n * m * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(x, AnT, AmT)
+
+
+def iwpt2_pallas(y, wt: str, L: int, precision=None,
+                 in_cutoff: int | None = None, interpret: bool = False):
+    """Fused 2-D inverse WPT — mirror of :func:`wpt2_pallas` (composed
+    synthesis contractions on the MXU, then the shallow inverse window
+    levels on the VPU, one VMEM trip per image)."""
+    precision = _conv.MATMUL_PRECISION if precision is None else precision
+    return _iwpt2_pallas_jit(y, wt, L, precision, in_cutoff, interpret)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "precision", "in_cutoff",
+                                    "interpret"),
+                   inline=True)
+def _iwpt2_pallas_jit(y, wt, L: int, precision, in_cutoff: int | None,
+                      interpret: bool):
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    B, n, m = y.shape
+    cutoff = 128 if in_cutoff is None else in_cutoff
+    shallow = _shallow_levels(n, m, L, cutoff)
+    if shallow < L:
+        SnT, SmT = _composed_pair(w, n, m, shallow, L, y.dtype, True)
+    else:
+        SnT = SmT = jnp.zeros((8, 128), y.dtype)  # unused
+    kernel = _make_kernel2_inv(n, m, L, shallow, w.lo, w.hi, precision)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(SnT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(SmT.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, m), y.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=_flops2(B, n, m, len(w.lo), shallow, min(n, m) >> shallow),
+            bytes_accessed=2 * B * n * m * y.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(y, SnT, SmT)

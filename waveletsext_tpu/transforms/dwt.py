@@ -87,6 +87,36 @@ def _try_pallas_iwpt(y, w, L: int):
     return out.reshape(*y.shape[:-1], n)
 
 
+def _try_pallas_wpt2(x, w, L: int):
+    """2-D analog of :func:`_try_pallas_wpt`: fused Pallas kernel for image
+    batches when supported (TPU, f32/bf16, tile-aligned dims)."""
+    if x.ndim < 3 or x.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    n, m = x.shape[-2:]
+    if (L < 1 or (min(n, m) >> L) < 2 or n % 8 or m % 128
+            or not _tpu_backend()):
+        return None
+    from ..kernels.pallas_wpt2 import wpt2_pallas
+    B = int(np.prod(x.shape[:-2]))
+    out = wpt2_pallas(x.reshape(B, n, m), w.name, L,
+                      precision=conv.MATMUL_PRECISION)
+    return out.reshape(*x.shape[:-2], n, m)
+
+
+def _try_pallas_iwpt2(y, w, L: int):
+    if y.ndim < 3 or y.dtype not in (jnp.float32, jnp.bfloat16):
+        return None
+    n, m = y.shape[-2:]
+    if (L < 1 or (min(n, m) >> L) < 2 or n % 8 or m % 128
+            or not _tpu_backend()):
+        return None
+    from ..kernels.pallas_wpt2 import iwpt2_pallas
+    B = int(np.prod(y.shape[:-2]))
+    out = iwpt2_pallas(y.reshape(B, n, m), w.name, L,
+                       precision=conv.MATMUL_PRECISION)
+    return out.reshape(*y.shape[:-2], n, m)
+
+
 def _default_levels(n: int, L) -> int:
     L0 = maxtransformlevels(n)
     if L is None:
@@ -365,6 +395,9 @@ def wpt2(x, wt, tree_or_L=None):
     n, m = x.shape[-2:]
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(min(n, m), None if tree_or_L is None else int(tree_or_L))
+        fused = _try_pallas_wpt2(x, w, L)
+        if fused is not None:
+            return fused
         cur = x
         d = 0
         while d < L and (min(n, m) >> d) > _kops.MATMUL_CUTOFF:
@@ -423,6 +456,9 @@ def iwpt2(y, wt, tree_or_L=None):
     n, m = y.shape[-2:]
     if tree_or_L is None or isinstance(tree_or_L, (int, np.integer)):
         L = _default_levels(min(n, m), None if tree_or_L is None else int(tree_or_L))
+        fused = _try_pallas_iwpt2(y, w, L)
+        if fused is not None:
+            return fused
         dcut = 0
         while dcut < L and (min(n, m) >> dcut) > _kops.MATMUL_CUTOFF:
             dcut += 1
