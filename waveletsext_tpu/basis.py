@@ -104,10 +104,27 @@ def coefcost(x, cost, nrm=None):
     raise TypeError(f"unknown cost {cost!r}")
 
 
+@functools.lru_cache(maxsize=None)
+def _ash_smoothing_matrix(g: int, mbins: int) -> np.ndarray:
+    """Static (g, g) banded triangular-kernel smoothing operator with zero
+    (non-circular) boundaries: S[j, k] = 1 - |j-k|/mbins for |j-k| < mbins."""
+    j = np.arange(g)
+    off = j[:, None] - j[None, :]
+    S = np.maximum(1.0 - np.abs(off) / mbins, 0.0)
+    return S
+
+
 def _ash_differential_entropy(x):
     """Differential entropy of the samples ``x`` via an average-shifted
     histogram with triangular kernel (bestbasis_costs.jl:135-155: M=50,
-    nbins=ceil((30N)^(1/5)), mbins=ceil(M/nbins))."""
+    nbins=ceil((30N)^(1/5)), mbins=ceil(M/nbins)).
+
+    TPU formulation: no scatter and no gather anywhere (both lower to the
+    scalar path, CLAUDE.md round-2 findings).  Bin counts come from a
+    compare-reduce one-hot (g is tiny and static, so XLA fuses the compare
+    into the reduction); the triangular smoothing is one static banded
+    (g, g) matvec; and the per-sample pdf lookup folds exactly into the
+    count vector:  sum_i log(density[idx_i]) == counts @ log(density)."""
     N = x.shape[0]
     M = 50
     nbins = int(np.ceil((30 * N) ** 0.2))
@@ -116,26 +133,16 @@ def _ash_differential_entropy(x):
 
     sigma = jnp.std(x, ddof=1)
     lo = jnp.min(x) - 0.5 * sigma
-    hi = jnp.max(x) + 0.5 * sigma
     delta = (jnp.max(x) - jnp.min(x) + sigma) / (g - 1)
     # histogram counts on the grid bins [lo + i*delta, lo + (i+1)*delta)
     idx = jnp.clip(jnp.floor((x - lo) / delta), 0, g - 1).astype(jnp.int32)
-    counts = jnp.zeros(g, x.dtype).at[idx].add(1.0)
-    # triangular-kernel smoothing over a window of mbins shifts
-    weights = np.array([1.0 - abs(j) / mbins for j in range(-mbins + 1, mbins)])
-    smoothed = jnp.zeros(g, x.dtype)
-    for off, wgt in zip(range(-mbins + 1, mbins), weights):
-        shifted = jnp.roll(counts, off)
-        # zero out wrapped entries
-        if off > 0:
-            shifted = shifted.at[:off].set(0.0)
-        elif off < 0:
-            shifted = shifted.at[off:].set(0.0)
-        smoothed = smoothed + float(wgt) * shifted
+    onehot = (idx[:, None] == jnp.arange(g)[None, :]).astype(x.dtype)
+    counts = jnp.sum(onehot, axis=0)
+    S = jnp.asarray(_ash_smoothing_matrix(g, mbins), x.dtype)
+    smoothed = S @ counts
     density = smoothed / (jnp.sum(smoothed) * delta)
-    # evaluate pdf at each sample (grid floor lookup) and average the -log
-    pdf_at_x = density[idx]
-    return -jnp.mean(jnp.log(jnp.maximum(pdf_at_x, 1e-300)))
+    logd = jnp.log(jnp.maximum(density, 1e-300))
+    return -(counts @ logd) / N
 
 
 # ---------------------------------------------------------------------------

@@ -139,21 +139,19 @@ def _ash_bins(Nx: int, M: int = 100):
 
 def _ash_density(z_grid, z_hist, g: int, mbins: int):
     """Triangular-kernel ASH density on a grid derived from ``z_grid``,
-    histogramming ``z_hist``.  Returns (grid, density, lo, delta)."""
+    histogramming ``z_hist``.  Returns (grid, density, lo, delta).
+
+    Scatter-free TPU formulation (see basis._ash_differential_entropy):
+    compare-reduce one-hot counts + a static banded smoothing matvec."""
+    from .basis import _ash_smoothing_matrix
     sigma = jnp.std(z_grid, ddof=1)
     lo = jnp.min(z_grid) - 0.5 * sigma
     delta = (jnp.max(z_grid) - jnp.min(z_grid) + sigma) / (g - 1)
     idx = jnp.clip(jnp.floor((z_hist - lo) / delta), 0, g - 1).astype(jnp.int32)
-    counts = jnp.zeros(g, z_hist.dtype).at[idx].add(1.0)
-    smoothed = jnp.zeros(g, z_hist.dtype)
-    for off in range(-mbins + 1, mbins):
-        wgt = 1.0 - abs(off) / mbins
-        shifted = jnp.roll(counts, off)
-        if off > 0:
-            shifted = shifted.at[:off].set(0.0)
-        elif off < 0:
-            shifted = shifted.at[off:].set(0.0)
-        smoothed = smoothed + wgt * shifted
+    onehot = (idx[:, None] == jnp.arange(g)[None, :]).astype(z_hist.dtype)
+    counts = jnp.sum(onehot, axis=0)
+    S = jnp.asarray(_ash_smoothing_matrix(g, mbins), z_hist.dtype)
+    smoothed = S @ counts
     density = smoothed / (jnp.sum(smoothed) * delta)
     return lo, delta, density
 
@@ -225,7 +223,10 @@ def _energy_map_idxs(Xw, idxs, method):
                     lo, delta, dens = _ash_density(z, z, g, mbins)
                     gi = jnp.clip(jnp.floor((z - lo) / delta), 0,
                                   g - 1).astype(jnp.int32)
-                    return dens[gi]
+                    # pdf-at-sample as a one-hot contraction (no gather)
+                    oh = (gi[:, None] == jnp.arange(g)[None, :]).astype(
+                        z.dtype)
+                    return oh @ dens
                 w = jax.vmap(one)(coords).T.reshape(xw.shape)
                 out.append(Signature(xw, w))
         return out
