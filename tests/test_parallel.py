@@ -227,3 +227,27 @@ def test_cp_sdwt2_rejects_bad_level():
         x, jax.sharding.NamedSharding(mesh, P(None, None, "sp")))
     with pytest.raises(ValueError, match="L must be in"):
         cp.sdwt2_cp(xs, "db4", 7, mesh)  # min side 64 supports only 6
+
+
+@pytest.mark.parametrize("S,L", [(4, 3), (8, 4)])
+def test_cp_wpd2_matches_single(S, L):
+    """Column-sharded 2-D decimated CP == single-device wpd2."""
+    devs = np.asarray(jax.devices()[:S]).reshape(1, S)
+    mesh = Mesh(devs, ("dp", "sp"))
+    x = jnp.asarray(RNG.standard_normal((2, 64, 128)))
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, P(None, None, "sp")))
+    got = cp.wpd2_cp(xs, "db4", L, mesh)
+    ref = wx.wpd2(x, "db4", L)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)
+
+
+def test_cp_wpt2_matches_single():
+    devs = np.asarray(jax.devices()[:8]).reshape(1, 8)
+    mesh = Mesh(devs, ("dp", "sp"))
+    x = jnp.asarray(RNG.standard_normal((2, 64, 256)))
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, P(None, None, "sp")))
+    got = cp.wpt2_cp(xs, "db4", 4, mesh)
+    ref = wx.wpt2(x, "db4", 4)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10)

@@ -356,6 +356,81 @@ def acdwt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
                      out_specs=out_spec)(x)
 
 
+def _wpt2_cp_level(cur, d: int, m: int, S: int, lo, hi, axis: str):
+    """One column-sharded 2-D decimated packet level (..., n, m_loc).
+
+    Separable split of dwt_one_level.jl:319-354: the axis -2 pass is local
+    (every device holds whole columns of its slice) via the packed 1-D level
+    step; the sharded last-axis pass is exactly the 1-D decimated CP level
+    (_cp_level) with the row axis folded into the batch — halo ppermutes +
+    packed-layout compaction, or node-local once 2^d >= n_shards."""
+    from ..transforms.dwt import _wpt_level_fwd
+    t = jnp.swapaxes(cur, -1, -2)
+    t = _wpt_level_fwd(t, d, lo, hi)
+    cur = jnp.swapaxes(t, -1, -2)
+    return _cp_level(cur, d, m, S, lo, hi, axis)
+
+
+def _wpd2_cp_specs(x, axis):
+    lead = len(x.shape) - 2
+    in_spec = P(*([None] * (lead + 1)), axis)
+    stack_spec = P(*([None] * (lead + 1)), None, axis)
+    return in_spec, stack_spec
+
+
+def _check_cp2_levels(x, L, S):
+    from ..trees import maxtransformlevels
+    n, m = x.shape[-2:]
+    Lmax = maxtransformlevels(min(n, m))
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L must be in 1..{Lmax} for {x.shape[-2:]} images,"
+                         f" got {L}")
+    if m % S:
+        raise ValueError(f"column axis {m} not divisible by {S} shards")
+
+
+def wpd2_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp"):
+    """Column-sharded 2-D WPD -> (..., L+1, n, m) level stack
+    (transforms/dwt.py wpd2 layout) with the LAST (column) axis sharded over
+    ``axis`` — the SURVEY §5 long-signal strategy applied to large images
+    (no reference counterpart; the reference transforms whole images
+    serially, DWT.jl:164-209)."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    _check_cp2_levels(x, L, S)
+    m = x.shape[-1]
+    in_spec, out_spec = _wpd2_cp_specs(x, axis)
+
+    def inner(xl):
+        cur = xl
+        slices = [cur]
+        for d in range(L):
+            cur = _wpt2_cp_level(cur, d, m, S, w.lo, w.hi, axis)
+            slices.append(cur)
+        return jnp.stack(slices, axis=-3)
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
+def wpt2_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp"):
+    """Column-sharded 2-D WPT (leaf slice only) -> (..., n, m)."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    _check_cp2_levels(x, L, S)
+    m = x.shape[-1]
+    in_spec, _ = _wpd2_cp_specs(x, axis)
+
+    def inner(xl):
+        cur = xl
+        for d in range(L):
+            cur = _wpt2_cp_level(cur, d, m, S, w.lo, w.hi, axis)
+        return cur
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec)(x)
+
+
 @functools.partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis"))
 def wpt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp"):
     """Signal-axis-sharded WPT (leaf slice only)."""
