@@ -188,3 +188,32 @@ def test_dense_golden_costs():
     assert float(costs[1][1, 1]) == pytest.approx(0.566, abs=1e-3)
     _, mincost = siwt_dense.bestbasis_dense(costs, 1, 1)
     assert float(mincost) == pytest.approx(0.641, abs=1e-3)
+
+
+@pytest.mark.parametrize("budget", [1, 2, None])
+def test_packed_pipeline_matches_dense(budget):
+    """Budget-packed fused pipeline == the dense masked sweep composed from
+    the public dense functions (values, best-basis decisions, inverse),
+    for partial budgets and the full budget d=L."""
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((3, 64)))
+    L = 4
+    d = L if budget is None else budget
+    rec, mincost = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, d)
+    vals, costs = siwt_dense.siwpd_dense(X, "db4", L, d)
+    decs, mincost_dense = siwt_dense.bestbasis_dense(costs, L, d)
+    rec_dense = siwt_dense.isiwpd_dense(vals, decs, "db4")
+    assert np.allclose(np.asarray(mincost), np.asarray(mincost_dense),
+                       atol=1e-10)
+    assert np.allclose(np.asarray(rec), np.asarray(rec_dense), atol=1e-10)
+    # perfect reconstruction either way
+    assert np.allclose(np.asarray(rec), np.asarray(X), atol=1e-10)
+
+
+def test_packed_shift_counts_scale_with_budget():
+    """Packed metadata: P_d stays O(budget)-bounded instead of 2^d."""
+    shifts, kid_pos, _, _ = siwt_dense.packed_shifts(12, 2)
+    assert len(shifts[12]) <= 8          # dense would be 4096
+    full, _, _, _ = siwt_dense.packed_shifts(5, 5)
+    # full budget: packed == all valid == 2^d
+    assert [len(s) for s in full] == [1 << d for d in range(6)]

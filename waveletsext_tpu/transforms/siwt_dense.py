@@ -204,13 +204,123 @@ def _isiwpd_dense_jit(vals, decisions, wtname: str, L: int):
     return _reconstruct_sweep(vals, decisions, wtname, L)
 
 
+# ---------------------------------------------------------------------------
+# Budget-aware packed sweep: the dense tensors above carry all 2^d shift
+# slots per depth even though a shift budget ``d`` only ever creates the
+# budget-valid ones (garbage slots are masked in the sweeps).  The packed
+# twin keeps, per depth, ONLY the valid shifts — a static list — so memory
+# and flops scale with the budget (e.g. budget 2 at depth 12: 4 packed
+# shifts vs 4096 dense slots).  Numerically identical to the dense sweep
+# (tests/test_siwt.py::test_packed_pipeline_matches_dense); the fused
+# pipeline below always uses it (at budget == L the packed layout holds
+# exactly the 2^d valid shifts, so nothing is lost there either).
+# ---------------------------------------------------------------------------
+
+def _expands(d: int, s: int, L: int, budget: int) -> bool:
+    """SIWT.jl:119-133 recursion rule: does node (d, *, s) create children?"""
+    if s == 0:
+        return True
+    d1 = (s & -s).bit_length() - 1
+    return min(budget, L - d1) - (d - d1) > 0
+
+
+@functools.lru_cache(maxsize=None)
+def packed_shifts(L: int, budget: int):
+    """Static packed-shift metadata: ``shifts[d]`` the valid shift values in
+    packed order ([unshifted kids | shifted kids] of the previous depth);
+    ``kid_pos[d]`` the packed positions that expand; ``inv[d]`` for each
+    packed position its index into ``kid_pos[d]`` (0 where none — callers
+    guard with ``has_kid[d]``)."""
+    shifts = [(0,)]
+    kid_pos, inv, has_kid = [], [], []
+    for d in range(L):
+        cur = shifts[d]
+        kp = tuple(i for i, s in enumerate(cur)
+                   if _expands(d, s, L, budget))
+        kid_pos.append(kp)
+        lookup = {p: k for k, p in enumerate(kp)}
+        inv.append(tuple(lookup.get(p, 0) for p in range(len(cur))))
+        has_kid.append(tuple(p in lookup for p in range(len(cur))))
+        kids = tuple(cur[i] for i in kp)
+        shifts.append(kids + tuple(s + (1 << d) for s in kids))
+    return shifts, kid_pos, inv, has_kid
+
+
+def _decompose_packed(x, wtname: str, L: int, budget: int):
+    """Budget-packed level sweep: values[d] is (batch..., 2^d, P_d, n/2^d)
+    with P_d = #valid shifts at depth d (packed order of packed_shifts)."""
+    w = _wavelet(wtname)
+    _, kid_pos, _, _ = packed_shifts(L, budget)
+    vals = [x[..., None, None, :]]
+    for d in range(L):
+        V = vals[d]
+        kp = np.asarray(kid_pos[d])
+        P = V if len(kp) == V.shape[-2] else jnp.take(V, kp, axis=-2)
+        X = jnp.concatenate([P, jnp.roll(P, 1, axis=-1)], axis=-2)
+        w1, w2 = conv.analysis_step(X, w.lo, w.hi)
+        child = jnp.stack([w1, w2], axis=-3)
+        sh = child.shape
+        vals.append(child.reshape(*sh[:-4], sh[-4] * 2, sh[-2], sh[-1]))
+    return tuple(vals)
+
+
+def _bestbasis_sweep_packed(costs, L: int, budget: int):
+    """Packed twin of :func:`_bestbasis_sweep`: same 3-way strict-< min,
+    but child sums live on the kid subset and expand to the parent axis via
+    a tiny static take; no-kid slots see +inf children and keep the node."""
+    _, kid_pos, inv, has_kid = packed_shifts(L, budget)
+    cstar = costs[L]
+    decisions = [None] * (L + 1)
+    decisions[L] = jnp.zeros(costs[L].shape, jnp.int8)
+    for d in range(L - 1, -1, -1):
+        K = len(kid_pos[d])
+        sh = cstar.shape  # (.., 2Nd, 2K)
+        pair = cstar.reshape(*sh[:-2], sh[-2] // 2, 2, sh[-1]).sum(axis=-2)
+        u_k = pair[..., :K]
+        s_k = pair[..., K:]
+        hk = jnp.asarray(np.asarray(has_kid[d]))
+        iv = np.asarray(inv[d])
+        inf = jnp.asarray(np.inf, pair.dtype)
+        u = jnp.where(hk, jnp.take(u_k, iv, axis=-1), inf)
+        s = jnp.where(hk, jnp.take(s_k, iv, axis=-1), inf)
+        c = costs[d]
+        node_min = (c < u) & (c < s)
+        u_min = (~node_min) & (u < s)
+        dec = jnp.where(node_min, jnp.int8(0),
+                        jnp.where(u_min, jnp.int8(1), jnp.int8(2)))
+        cstar = jnp.where(node_min, c, jnp.where(u_min, u, s))
+        decisions[d] = dec
+    return tuple(decisions), cstar[..., 0, 0]
+
+
+def _reconstruct_sweep_packed(vals, decisions, wtname: str, L: int,
+                              budget: int):
+    w = _wavelet(wtname)
+    _, kid_pos, inv, has_kid = packed_shifts(L, budget)
+    R = vals[L]
+    for d in range(L - 1, -1, -1):
+        K = len(kid_pos[d])
+        sh = R.shape  # (.., 2Nd, 2K, nd/2)
+        pair = R.reshape(*sh[:-3], sh[-3] // 2, 2, sh[-2], sh[-1])
+        y = conv.synthesis_step(pair[..., 0, :, :], pair[..., 1, :, :],
+                                w.lo, w.hi)          # (.., Nd, 2K, nd)
+        y_u = y[..., :K, :]
+        y_s = jnp.roll(y[..., K:, :], -1, axis=-1)
+        iv = np.asarray(inv[d])
+        dec = decisions[d][..., None]  # dec == 0 wherever has_kid is False
+        R = jnp.where(dec == 0, vals[d],
+                      jnp.where(dec == 1, jnp.take(y_u, iv, axis=-2),
+                                jnp.take(y_s, iv, axis=-2)))
+    return R[..., 0, 0, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("wtname", "L", "budget", "soft"))
 def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
-    vals = _decompose(x, wtname, L)
+    vals = _decompose_packed(x, wtname, L, budget)
     nrm = jnp.linalg.norm(x, axis=-1)
     costs = tuple(_shannon_costs(v, nrm) for v in vals)
-    decisions, mincost = _bestbasis_sweep(costs, L, budget)
+    decisions, mincost = _bestbasis_sweep_packed(costs, L, budget)
     if t is not None:
         tb = t[..., None, None, None] if jnp.ndim(t) else t
         if soft:
@@ -218,7 +328,8 @@ def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
                          for v in vals)
         else:
             vals = tuple(jnp.where(jnp.abs(v) > tb, v, 0.0) for v in vals)
-    return _reconstruct_sweep(vals, decisions, wtname, L), mincost
+    return (_reconstruct_sweep_packed(vals, decisions, wtname, L, budget),
+            mincost)
 
 
 def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
