@@ -1,0 +1,74 @@
+"""Fused à-trous Pallas kernel parity (interpreter mode on CPU; the same
+kernels run natively on TPU via the transforms/denoising dispatch)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import waveletsext_tpu as wx
+from waveletsext_tpu import denoising as dn
+from waveletsext_tpu.kernels.pallas_swt import (sdwt_pallas, isdwt_pallas,
+                                                acdwt_pallas, iacdwt_pallas)
+
+RNG = np.random.default_rng(0)
+
+
+def _x(B=16, n=256):
+    return jnp.asarray(RNG.standard_normal((B, n)).astype(np.float32))
+
+
+@pytest.mark.parametrize("wt,L", [("db4", 5), ("haar", 3), ("db2", 8)])
+def test_sdwt_pallas_matches_xla(wt, L):
+    x = _x()
+    got = np.asarray(sdwt_pallas(x, wt, L, interpret=True))
+    ref = np.asarray(wx.sdwt(x.astype(jnp.float64), wt, L))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+@pytest.mark.parametrize("wt,L", [("db4", 5), ("db2", 8)])
+def test_isdwt_pallas_matches_xla(wt, L):
+    x = _x()
+    xw = wx.sdwt(x.astype(jnp.float64), wt, L)
+    ref = np.asarray(wx.isdwt(xw, wt))
+    got = np.asarray(isdwt_pallas(xw.astype(jnp.float32), wt,
+                                  interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-4)
+
+
+def test_acdwt_pallas_matches_xla():
+    x = _x()
+    got = np.asarray(acdwt_pallas(x, "db4", 5, interpret=True))
+    ref = np.asarray(wx.acdwt(x.astype(jnp.float64), "db4", 5))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    rec = np.asarray(iacdwt_pallas(jnp.asarray(got), interpret=True))
+    np.testing.assert_allclose(rec, np.asarray(x), atol=1e-4)
+
+
+@pytest.mark.parametrize("soft,undersmooth", [(False, False), (True, False),
+                                              (False, True)])
+def test_isdwt_threshold_fusion_matches_denoise(soft, undersmooth):
+    """Threshold-fused inverse == threshold(stack) then isdwt (the
+    Denoising.jl:544-565 sdwt path with per-signal thresholds)."""
+    x = _x(8, 256)
+    xw = wx.sdwt(x, "db4", 4)
+    t = jnp.asarray(np.abs(RNG.standard_normal(8)).astype(np.float32)) * 0.5
+    th = dn.SoftTH() if soft else dn.HardTH()
+    xs = dn.threshold(xw, th, t[:, None, None])
+    if undersmooth:
+        xs = xs.at[..., 0, :].set(xw[..., 0, :])
+    ref = np.asarray(wx.isdwt(xs.astype(jnp.float64), "db4"))
+    got = np.asarray(isdwt_pallas(xw, "db4", t, has_t=True, soft=soft,
+                                  undersmooth=undersmooth, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_iacdwt_threshold_fusion_matches_denoise():
+    x = _x(8, 256)
+    xw = wx.acdwt(x, "db4", 4)
+    t = jnp.asarray(np.abs(RNG.standard_normal(8)).astype(np.float32)) * 0.5
+    xs = dn.threshold(xw, dn.HardTH(), t[:, None, None])
+    ref = np.asarray(wx.iacdwt(xs.astype(jnp.float64)))
+    got = np.asarray(iacdwt_pallas(xw, t, has_t=True, interpret=True))
+    np.testing.assert_allclose(got, ref, atol=1e-4)

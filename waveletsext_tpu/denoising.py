@@ -256,6 +256,37 @@ def relerrorthreshold(coef, redundant: bool = False, tree=None,
 _INPUTTYPES = ("sig", "dwt", "wpt", "sdwt", "swpd", "acdwt", "acwpd")
 
 
+def _try_pallas_redundant_denoise(x, t, th, smooth, inputtype, wt):
+    """Fuse threshold + average inverse of the sdwt/acdwt denoise branch
+    into one Pallas VMEM trip when supported (TPU, f32/bf16, aligned dims,
+    Hard/Soft threshold).  ``t`` is the resolved sigma*dnt.t (scalar or
+    per-signal); semantics identical to threshold-then-inverse (tested in
+    tests/test_pallas_swt.py)."""
+    from .transforms.swt import _pallas_stack_ok
+    if x.ndim < 3 or not _pallas_stack_ok(x):
+        return None
+    if not isinstance(th, (HardTH, SoftTH)):
+        return None
+    if inputtype == "sdwt" and wt is None:
+        return None
+    P, n = x.shape[-2:]
+    lead = x.shape[:-2]
+    B = int(np.prod(lead))
+    tv = jnp.broadcast_to(jnp.asarray(t, jnp.float32), lead).reshape(B)
+    xf = x.reshape(B, P, n)
+    soft = isinstance(th, SoftTH)
+    under = smooth == "undersmooth"
+    if inputtype == "sdwt":
+        from .kernels.pallas_swt import isdwt_pallas
+        from .transforms.dwt import _wt as _resolve_wt
+        out = isdwt_pallas(xf, _resolve_wt(wt), tv, has_t=True, soft=soft,
+                           undersmooth=under)
+    else:
+        from .kernels.pallas_swt import iacdwt_pallas
+        out = iacdwt_pallas(xf, tv, has_t=True, soft=soft, undersmooth=under)
+    return out.reshape(*lead, n)
+
+
 def _estimate_sigma(coefs, inputtype, tree, estnoise):
     if not callable(estnoise):
         return jnp.asarray(estnoise)
@@ -324,6 +355,10 @@ def denoise(x, inputtype: str, wt, L: int | None = None, tree=None,
 
     tb = t[..., None, None] if jnp.ndim(t) else t
     if inputtype in ("sdwt", "acdwt"):
+        fused = _try_pallas_redundant_denoise(x, t, dnt.th, smooth,
+                                              inputtype, wt)
+        if fused is not None:
+            return fused
         if smooth == "regular":
             xs = threshold(x, dnt.th, tb)
         else:

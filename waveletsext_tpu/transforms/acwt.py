@@ -45,6 +45,13 @@ def acdwt(x, wt, L: int | None = None):
     """1-D autocorrelation DWT -> (..., L+1, n) (ACWT.jl:109-133)."""
     w = _wt(wt)
     L = _levels(x.shape[-1], L)
+    from .swt import _pallas_stack_ok
+    if x.ndim >= 2 and _pallas_stack_ok(x):
+        from ..kernels.pallas_swt import acdwt_pallas
+        n = x.shape[-1]
+        B = int(np.prod(x.shape[:-1]))
+        return acdwt_pallas(x.reshape(B, n), w, L).reshape(
+            *x.shape[:-1], L + 1, n)
     cur = x
     details = []
     for d in range(L):

@@ -46,6 +46,36 @@ def _levels(n, L):
     return L
 
 
+def _pallas_stack_ok(x, n_axis: int = -1):
+    """Shared dispatch guard for the fused à-trous Pallas kernels."""
+    from .dwt import _tpu_backend
+    n = x.shape[n_axis]
+    if x.dtype not in (jnp.float32, jnp.bfloat16) or n % 128:
+        return False
+    B = int(np.prod(x.shape[:n_axis], dtype=np.int64)) if x.ndim > 1 else 0
+    return B >= 8 and B % 8 == 0 and _tpu_backend()
+
+
+def _try_pallas_sdwt(x, w, L: int):
+    if x.ndim < 2 or not _pallas_stack_ok(x):
+        return None
+    from ..kernels.pallas_swt import sdwt_pallas
+    n = x.shape[-1]
+    B = int(np.prod(x.shape[:-1]))
+    out = sdwt_pallas(x.reshape(B, n), w, L)
+    return out.reshape(*x.shape[:-1], L + 1, n)
+
+
+def _try_pallas_isdwt(xw, w):
+    if xw.ndim < 3 or not _pallas_stack_ok(xw):
+        return None
+    from ..kernels.pallas_swt import isdwt_pallas
+    P, n = xw.shape[-2:]
+    B = int(np.prod(xw.shape[:-2]))
+    out = isdwt_pallas(xw.reshape(B, P, n), w)
+    return out.reshape(*xw.shape[:-2], n)
+
+
 def _shift_merge(w1, w2, d, sv, sw, lo, hi):
     """Shift-based inverse step writing onto base ``w1`` (the reference's
     in-place discipline: only the sv-coset is rewritten; other positions keep
@@ -95,6 +125,9 @@ def sdwt(x, wt, L: int | None = None):
     """1-D stationary DWT -> (..., L+1, n) (SWT.jl:109-130)."""
     w = _wt(wt)
     L = _levels(x.shape[-1], L)
+    fused = _try_pallas_sdwt(x, w, L)
+    if fused is not None:
+        return fused
     cur = x
     details = []
     for d in range(L):
@@ -127,6 +160,10 @@ def isdwt(xw, wt, sm: int | None = None):
     (SWT.jl:259-334)."""
     w = _wt(wt)
     L = xw.shape[-2] - 1
+    if sm is None:
+        fused = _try_pallas_isdwt(xw, w)
+        if fused is not None:
+            return fused
     x = xw[..., 0, :]
     sd = None if sm is None else main2depthshift(sm, L)
     for d in range(L - 1, -1, -1):
