@@ -130,6 +130,13 @@ def main():
     record("c2b_bball_fused", slope_time(c2b_fused, x2, 16, 128), B2 * n2,
            {"B": B2, "n": n2})
 
+    # LSDB (ASH differential-entropy costs) at the c2 config — exercises the
+    # scatter-free one-hot ASH path (basis._ash_differential_entropy)
+    c2_lsdb = lambda a: wx.bestbasis_pipeline(a, "db4", L2,
+                                              method=wx.LSDB())[1]
+    record("c2_lsdb_fused", slope_time(c2_lsdb, x2, 8, 64), B2 * n2,
+           {"B": B2, "n": n2})
+
     # larger-batch variant: the reference-size c2 program is ~0.05 ms —
     # latency-bound on the tunnel — so also measure the same pipeline at a
     # size where the chip is the bound (CLAUDE.md round-3 note).
@@ -274,6 +281,15 @@ def main():
     siwt_pipe = lambda a: wx.siwt_bestbasis_pipeline(a, "db4", L6)[0]
     record("c6_siwt_bb_pipeline", slope_time(siwt_pipe, x6, 8, 64),
            B6 * n6, {"B": B6, "n": n6, "L": L6})
+
+    # big-batch budget-packed SIWT (P_d stays O(budget) instead of 2^d —
+    # siwt_dense.packed_shifts): B=256 signals of n=4096 at L=12, budget 2
+    B6b = 32 if QUICK else 256
+    n6b, L6b = 4096, 12
+    x6b = jnp.asarray(rng.standard_normal((B6b, n6b)).astype(np.float32))
+    siwt_big = lambda a: wx.siwt_bestbasis_pipeline(a, "db4", L6b, 2)[0]
+    record("c6b_siwt_bb_4k_budget2", slope_time(siwt_big, x6b, 2, 8),
+           B6b * n6b, {"B": B6b, "n": n6b, "L": L6b, "budget": 2})
 
     # quick/CPU smoke runs must not clobber the committed on-chip artifact
     name = ("all_results.json" if not QUICK and "TPU" in dev

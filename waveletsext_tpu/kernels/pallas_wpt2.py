@@ -108,6 +108,20 @@ def _make_kernel2_inv(n: int, m: int, L: int, shallow: int, lo, hi,
     return kernel
 
 
+def _default_cutoff2(precision) -> int:
+    """In-kernel cutoff for the composed contractions, by dot precision
+    (benchmarks/probe_wpt2.json, v5e, 512x512 db4 L=4):
+
+    * HIGHEST (6-pass f32-accurate MXU): composed flops are expensive, so
+      trade them for VPU window levels — 256 best (20.6 Gsps vs 15.8 at
+      512, 15.3 at 128).
+    * DEFAULT/HIGH (1-pass bf16 MXU): the MXU is nearly free and the VPU
+      becomes the bound — pure composed at 512 wins big (77.9 Gsps vs 30.4
+      at 256).
+    """
+    return 256 if precision == jax.lax.Precision.HIGHEST else 512
+
+
 def _shallow_levels(n: int, m: int, L: int, cutoff: int) -> int:
     s = 0
     while s < L and (min(n, m) >> s) > cutoff:
@@ -155,11 +169,8 @@ def _wpt2_pallas_jit(x, wt, L: int, precision, in_cutoff: int | None,
                      interpret: bool):
     w = _wavelet(wt) if isinstance(wt, str) else wt
     B, n, m = x.shape
-    # In-kernel cutoff: smaller than the XLA path's MATMUL_CUTOFF — shallow
-    # window levels are cheap on the VPU while every extra composed block
-    # size doubles the MXU volume (2*n*m*bs flops/side).  128 measured best
-    # at HIGHEST on v5e for the 512x512 c4 config (see BENCHMARKS.md).
-    cutoff = 128 if in_cutoff is None else in_cutoff
+    cutoff = (_default_cutoff2(precision) if in_cutoff is None
+              else in_cutoff)
     shallow = _shallow_levels(n, m, L, cutoff)
     if shallow < L:
         AnT, AmT = _composed_pair(w, n, m, shallow, L, x.dtype, False)
@@ -206,7 +217,8 @@ def _iwpt2_pallas_jit(y, wt, L: int, precision, in_cutoff: int | None,
                       interpret: bool):
     w = _wavelet(wt) if isinstance(wt, str) else wt
     B, n, m = y.shape
-    cutoff = 128 if in_cutoff is None else in_cutoff
+    cutoff = (_default_cutoff2(precision) if in_cutoff is None
+              else in_cutoff)
     shallow = _shallow_levels(n, m, L, cutoff)
     if shallow < L:
         SnT, SmT = _composed_pair(w, n, m, shallow, L, y.dtype, True)
