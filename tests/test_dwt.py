@@ -178,3 +178,29 @@ def test_precision_keyed_pipeline_retrace():
         assert {jax.lax.Precision.HIGHEST, jax.lax.Precision.DEFAULT} <= keys
     finally:
         wx.set_matmul_precision("highest")
+
+
+def test_precision_actually_reaches_traced_program():
+    """Regression: two jax.jit instances of the SAME function object share
+    one pjit trace cache, so per-precision jit instances alone silently
+    reused the first precision's program (the round-3 relaxed bench rows
+    were no-ops).  Assert the precision embedded in the traced jaxpr of a
+    PUBLIC entry point follows set_matmul_precision."""
+    import re
+    import jax
+
+    x = jnp.asarray(RNG.standard_normal((4, 4096)).astype(np.float32))
+
+    def traced_precisions():
+        s = str(jax.make_jaxpr(lambda a: wx.wpt(a, "db4", 4))(x))
+        return set(re.findall(r"precision=\(Precision\.(\w+)", s))
+
+    try:
+        wx.set_matmul_precision("highest")
+        assert traced_precisions() == {"HIGHEST"}
+        wx.set_matmul_precision("default")
+        assert traced_precisions() == {"DEFAULT"}
+        wx.set_matmul_precision("highest")
+        assert traced_precisions() == {"HIGHEST"}
+    finally:
+        wx.set_matmul_precision("highest")

@@ -67,6 +67,15 @@ def apijit(*static_names):
             from .kernels import conv
             jf = jits.get(conv.MATMUL_PRECISION)
             if jf is None:
+                # Each precision gets its own *distinct function object*:
+                # jax.jit instances of the SAME callable share one underlying
+                # pjit trace cache, so jax.jit(fn) per precision silently
+                # reuses the first precision's traced program (measured: the
+                # relaxed bench rows were no-ops until this shim).  The shim
+                # is traced while the global equals its key, so the
+                # trace-time reads of conv.MATMUL_PRECISION inside ``fn``
+                # are consistent.
+                shim = functools.wraps(fn)(lambda *a, **kw: fn(*a, **kw))
                 # inline=True: when a public transform is traced inside a
                 # larger jitted program (fused pipelines, benchmark chains),
                 # inline it instead of emitting a nested pjit call — a
@@ -74,7 +83,7 @@ def apijit(*static_names):
                 # slower on TPU (see BENCHMARKS.md round-2 notes).  Top-level
                 # calls still compile and cache per signature as before.
                 jf = jits[conv.MATMUL_PRECISION] = jax.jit(
-                    fn, static_argnames=static_names, inline=True)
+                    shim, static_argnames=static_names, inline=True)
             b = sig.bind(*args, **kwargs)
             b.apply_defaults()
             for name in static_names:
