@@ -1,6 +1,7 @@
 """Denoising tests (reference test/denoising.jl statistical bounds)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import waveletsext_tpu as wx
@@ -110,6 +111,20 @@ def test_threshold_determination_types():
     assert np.isfinite(float(dn.noisest(xw, True, tree)))
     assert np.isfinite(float(dn.surethreshold(xw, True, tree)))
     assert np.isfinite(float(dn.relerrorthreshold(xw, True, tree)))
+
+
+@pytest.mark.parametrize("shape", [(17,), (32,), (4, 33), (3, 9, 64)])
+def test_noisest_single_sort_mad_matches_two_medians(shape):
+    """noisest's one-sort MAD (V-shaped order-statistic windows over the
+    sorted plane) must equal the textbook median(|x - median(x)|), odd and
+    even lengths, including with ties."""
+    x = np.asarray(RNG.standard_normal(shape))
+    x[..., : shape[-1] // 3] = x[..., shape[-1] // 3: 2 * (shape[-1] // 3)]
+    dr = x[..., x.shape[-1] // 2:]  # the slice noisest takes (1-D, no tree)
+    med = np.median(dr, axis=-1, keepdims=True)
+    want = np.median(np.abs(dr - med), axis=-1) / 0.6745
+    got = np.asarray(dn.noisest(jnp.asarray(x), False))
+    assert np.allclose(got, want, atol=1e-12)
 
 
 def test_surethreshold_decimated_tree_ignored():

@@ -180,6 +180,24 @@ def test_precision_keyed_pipeline_retrace():
         wx.set_matmul_precision("highest")
 
 
+def test_matmul_precision_context_manager():
+    """wx.matmul_precision scopes the override and restores on exit (also
+    on exception)."""
+    import jax
+    from waveletsext_tpu.kernels import conv
+
+    assert conv.MATMUL_PRECISION == jax.lax.Precision.HIGHEST
+    with wx.matmul_precision("default"):
+        assert conv.MATMUL_PRECISION == jax.lax.Precision.DEFAULT
+    assert conv.MATMUL_PRECISION == jax.lax.Precision.HIGHEST
+    try:
+        with wx.matmul_precision("default"):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert conv.MATMUL_PRECISION == jax.lax.Precision.HIGHEST
+
+
 def test_precision_actually_reaches_traced_program():
     """Regression: two jax.jit instances of the SAME function object share
     one pjit trace cache, so per-precision jit instances alone silently

@@ -51,7 +51,7 @@ from .ldb import (LocalDiscriminantBasis, TimeFrequency, ProbabilityDensity,
                   energy_map, discriminant_measure, discriminant_power,
                   ldb_fit_transform_pipeline)
 
-from .kernels.conv import set_matmul_precision
+from .kernels.conv import set_matmul_precision, matmul_precision
 from .filters import makereverseqmfpair
 from .basis import (CostFunction, BBCost, JBBCost, LSDBCost, BestBasisType)
 from .ldb import (EnergyMap, DiscriminantMeasure, ProbabilityDensityDM,

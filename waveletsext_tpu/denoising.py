@@ -32,6 +32,11 @@ from .transforms import dwt as _dwt_mod
 from .transforms import swt as _swt_mod
 from .transforms import acwt as _acwt_mod
 
+# XLA's TPU row sort is ~3x faster at row length <= 256 (one-tile fast
+# path; measured in BENCHMARKS.md round 3) — the subsampled SURE selector
+# sizes its sorted subsample against this.
+_SORT_FAST_LEN = 256
+
 
 # ---------------------------------------------------------------------------
 # Threshold operators (Wavelets.jl HardTH / SoftTH / SteinTH)
@@ -152,13 +157,18 @@ def surethreshold(coef, redundant: bool = False, tree=None,
     a2full = jnp.abs(y) ** 2
     a2 = a2full
     if subsample > 1:
-        m = (n // subsample) * subsample
+        # XLA's TPU sort has a fast path for rows of <= 256 lanes (measured
+        # at B=4096: sort of (B, 256) = 0.15 ms vs 0.39-0.45 ms for any
+        # length in 288..512) — once the user opts into the subsampled
+        # estimate, raise the stride so the sorted subsample stays on it.
+        stride = max(subsample, -(-n // _SORT_FAST_LEN))
+        m = (n // stride) * stride
         # middle phase of each stride-s block: a systematic phase-0 sample
         # can alias with structured layouts (per-level positions in a
         # flattened sdwt table); the mid phase decorrelates it from block
         # boundaries.  Trailing-reshape select, never a strided slice.
-        a2 = a2[..., :m].reshape(*a2.shape[:-1], m // subsample,
-                                 subsample)[..., subsample // 2]
+        a2 = a2[..., :m].reshape(*a2.shape[:-1], m // stride,
+                                 stride)[..., stride // 2]
     m = a2.shape[-1]
     scale = n / m
     a = jnp.sort(a2, axis=-1)
@@ -178,10 +188,35 @@ def surethreshold(coef, redundant: bool = False, tree=None,
     return jnp.sqrt(t)
 
 
+def _kth_smallest_vshaped(d, k: int):
+    """k-th smallest (0-indexed) of ``d`` along the last axis, where ``d``
+    is V-shaped (non-increasing then non-decreasing).  The k+1 smallest
+    values of a V-shaped sequence occupy a contiguous index window, so the
+    k-th smallest equals the minimum over all length-(k+1) windows of the
+    window's endpoint maximum — two shifted views + max + min-reduce, no
+    second sort."""
+    m = d.shape[-1]
+    return jnp.min(jnp.maximum(d[..., : m - k], d[..., k:]), axis=-1)
+
+
+def _median_sorted(s):
+    """Median along the last axis of an already-sorted array (matches
+    jnp.median: mean of the two middles for even length)."""
+    m = s.shape[-1]
+    if m % 2:
+        return s[..., m // 2]
+    return 0.5 * (s[..., m // 2 - 1] + s[..., m // 2])
+
+
 @apijit("redundant", "tree")
 def noisest(x, redundant: bool = False, tree=None):
     """MAD-based noise sigma from the finest detail coefficients
-    (Denoising.jl:214-232).  Batched over leading axes."""
+    (Denoising.jl:214-232).  Batched over leading axes.
+
+    One sort instead of two medians: ``median(|dr - med|)`` is recovered
+    from the sorted plane via :func:`_kth_smallest_vshaped` (the distances
+    to the median of a sorted sequence are V-shaped) — jnp.median lowers to
+    a sort each, and sorts are the cost of this selector on TPU."""
     n = x.shape[-1]
     if not redundant and tree is None:
         dr = x[..., n // 2:]
@@ -192,8 +227,15 @@ def noisest(x, redundant: bool = False, tree=None):
     else:
         _, node = finestdetailrange(n, np.asarray(tree, bool), True)
         dr = x[..., node - 1, :]
-    med = jnp.median(dr, axis=-1, keepdims=True)
-    mad = jnp.median(jnp.abs(dr - med), axis=-1)
+    s = jnp.sort(dr, axis=-1)
+    med = _median_sorted(s)
+    d = jnp.abs(s - med[..., None])  # V-shaped along the sorted axis
+    m = d.shape[-1]
+    if m % 2:
+        mad = _kth_smallest_vshaped(d, m // 2)
+    else:
+        mad = 0.5 * (_kth_smallest_vshaped(d, m // 2 - 1)
+                     + _kth_smallest_vshaped(d, m // 2))
     return mad / 0.6745
 
 

@@ -19,6 +19,8 @@ implementations here are the reference-accurate (float64-capable) ground truth.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -45,6 +47,24 @@ def set_matmul_precision(p):
     """
     global MATMUL_PRECISION
     MATMUL_PRECISION = jax.lax.Precision(p) if isinstance(p, str) else p
+
+
+@_contextlib.contextmanager
+def matmul_precision(p):
+    """Scoped precision override (restores the previous value on exit)::
+
+        with wx.matmul_precision("default"):   # ~2.5-4x transform throughput
+            y = wx.wpt2(images, "db4", 4)      # at ~2e-3 rel-rms error
+
+    Equivalent to ``set_matmul_precision`` + try/finally; see that function
+    for the re-trace semantics."""
+    global MATMUL_PRECISION
+    prev = MATMUL_PRECISION
+    set_matmul_precision(p)
+    try:
+        yield
+    finally:
+        MATMUL_PRECISION = prev
 
 
 def periodic_filter(x, taps, stride: int = 1, dilation: int = 1, offset: int = 0):
