@@ -86,36 +86,47 @@ def _make_acdwt_kernel(n: int, L: int, ac_lo, ac_hi):
     return kernel
 
 
-def _plane_threshold(plane, t_ref, soft: bool):
-    """Hard/soft-threshold a (TB, n) plane with per-signal thresholds.
-    t_ref holds the threshold replicated across its 128 lanes; a sublane...
-    lane-axis max recovers the (TB, 1) column without lane slicing."""
-    t = jnp.max(t_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+def _plane_threshold(plane, t, soft: bool):
+    """Hard/soft-threshold a (TB, n) plane with the (TB, 1) per-signal
+    threshold column ``t`` (hoisted out of the level loop by the caller)."""
     if soft:
         return jnp.sign(plane) * jnp.maximum(jnp.abs(plane) - t, 0.0)
     return jnp.where(jnp.abs(plane) > t, plane, 0.0)
 
 
+def _threshold_column(t_ref):
+    """t_ref holds the threshold replicated across its 128 lanes; a lane-
+    axis max recovers the (TB, 1) column without lane slicing."""
+    return jnp.max(t_ref[:].astype(jnp.float32), axis=1, keepdims=True)
+
+
 def _make_isdwt_kernel(n: int, L: int, lo, hi, has_t: bool, soft: bool,
                        undersmooth: bool):
     F = len(lo)
+    # fold the per-level 0.5 averaging into the synthesis taps: each level
+    # scales its output by 0.5 either way, so halved taps are equivalent
+    # and save one full-plane multiply per level
+    lo_h = [0.5 * float(c) for c in lo]
+    hi_h = [0.5 * float(c) for c in hi]
 
     def kernel(y_ref, t_ref, x_ref):
+        t = _threshold_column(t_ref) if has_t else None
+
         def plane(j, thresh):
             p = y_ref[:, j, :].astype(jnp.float32)
             if has_t and thresh:
-                p = _plane_threshold(p, t_ref, soft)
+                p = _plane_threshold(p, t, soft)
             return p.T  # (n, TB)
 
         cur = plane(0, not undersmooth)
         for d in range(L - 1, -1, -1):
             D = 1 << d
             w2 = plane(L - d, True)
-            cur = 0.5 * (
-                _sublane_circ(cur, lo, [(-D * (t - 1)) % n
-                                        for t in range(F)])
-                + _sublane_circ(w2, hi, [(-D * (t - F + 1)) % n
-                                         for t in range(F)]))
+            cur = (
+                _sublane_circ(cur, lo_h, [(-D * (t_ - 1)) % n
+                                          for t_ in range(F)])
+                + _sublane_circ(w2, hi_h, [(-D * (t_ - F + 1)) % n
+                                           for t_ in range(F)]))
         x_ref[:] = cur.T.astype(x_ref.dtype)
     return kernel
 
@@ -123,10 +134,12 @@ def _make_isdwt_kernel(n: int, L: int, lo, hi, has_t: bool, soft: bool,
 def _make_iacdwt_kernel(n: int, L: int, has_t: bool, soft: bool,
                         undersmooth: bool):
     def kernel(y_ref, t_ref, x_ref):
+        t = _threshold_column(t_ref) if has_t else None
+
         def plane(j, thresh):
             p = y_ref[:, j, :].astype(jnp.float32)
             if has_t and thresh:
-                p = _plane_threshold(p, t_ref, soft)
+                p = _plane_threshold(p, t, soft)
             return p
 
         cur = plane(0, not undersmooth)
