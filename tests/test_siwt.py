@@ -210,6 +210,33 @@ def test_packed_pipeline_matches_dense(budget):
     assert np.allclose(np.asarray(rec), np.asarray(X), atol=1e-10)
 
 
+@pytest.mark.parametrize("budget,L", [(1, 9), (2, 12), (3, 10)])
+def test_deep_layout_pipeline_matches_shallow(budget, L, monkeypatch):
+    """The deep (samples-on-sublanes) layout the pipeline switches to at
+    n >= 2048 must match the all-shallow packed layout exactly: same
+    reconstruction, same min cost, with and without threshold fusion."""
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0.5, 1.5, (2,)).astype(np.float32))
+    assert siwt_dense._deep_transition(4096, L) is not None  # hybrid engages
+    rec, mc = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, budget)
+    rec_t, mc_t = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, budget,
+                                                     t=t, soft=True)
+    monkeypatch.setattr(siwt_dense, "_deep_transition",
+                        lambda n, L_: None)
+    siwt_dense._pipeline_jit.clear_cache()
+    rec_s, mc_s = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, budget)
+    rec_ts, mc_ts = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, budget,
+                                                       t=t, soft=True)
+    siwt_dense._pipeline_jit.clear_cache()
+    assert np.allclose(np.asarray(mc), np.asarray(mc_s), rtol=1e-5)
+    assert np.allclose(np.asarray(rec), np.asarray(rec_s), atol=2e-4)
+    assert np.allclose(np.asarray(mc_t), np.asarray(mc_ts), rtol=1e-5)
+    assert np.allclose(np.asarray(rec_t), np.asarray(rec_ts), atol=2e-4)
+    # perfect reconstruction without threshold
+    assert np.allclose(np.asarray(rec), np.asarray(X), atol=2e-4)
+
+
 def test_packed_shift_counts_scale_with_budget():
     """Packed metadata: P_d stays O(budget)-bounded instead of 2^d."""
     shifts, kid_pos, _, _ = siwt_dense.packed_shifts(12, 2)

@@ -314,22 +314,240 @@ def _reconstruct_sweep_packed(vals, decisions, wtname: str, L: int,
     return R[..., 0, 0, :]
 
 
+# ---------------------------------------------------------------------------
+# Deep layout: samples-on-sublanes, nodes-on-lanes.
+#
+# In the packed layout above, depth-d values are (..., 2^d, P_d, nd) with the
+# per-node signal nd on the LANE axis.  On TPU the lane axis pads to 128, so
+# once nd < 128 the physical tensors blow up (64x at nd == 2) and every deep
+# level costs ~constant time despite geometrically shrinking logical work
+# (measured: the L=12 n=4096 pipeline spends ~1.1 of its 1.5 ms on depths
+# >= 6).  Below ``_DEEP_ND`` the pipeline therefore transposes into
+#
+#     (..., P_d, nd, K=2^d)   # nd on sublanes, the BIG node axis on lanes
+#
+# and runs each level as one MXU operator contraction over the sublane axis
+# (kernels/operators.analysis_operator).  Children are appended in HALVES
+# order — [all lo-children | all hi-children] along the lane axis — so the
+# best-basis pair reduction is a contiguous half-sum, never a strided or
+# trailing-2 select.  The halves order is internal: decompose, sweep and
+# reconstruct all use it consistently, and the reconstruction re-enters the
+# natural-order shallow sweep at the transition depth.
+# ---------------------------------------------------------------------------
+
+_DEEP_ND = 128
+
+
+def _deep_transition(n: int, L: int) -> int | None:
+    """First depth whose node length drops below the lane tile, i.e. where
+    the deep layout engages; None when it never pays.  On-chip d0 sweep
+    (B=64 n=4096 budget 2, v5e): the transposed zone only beats the shallow
+    layout's padding waste once it spans >= ~4 levels (L=10: 1.14 -> 0.91
+    ms at d0=5; L=12: 1.36 -> 1.19 at d0=6; L=8 prefers all-shallow), so
+    require a substantial deep zone."""
+    if n < 2048:
+        return None
+    d0 = max(0, n.bit_length() - _DEEP_ND.bit_length())  # nd(d0) == 128
+    return d0 if L - d0 >= 4 else None
+
+
+def _op(make, wtname: str, nd: int, dtype):
+    w = _wavelet(wtname)
+    return jnp.asarray(make(conv._ops.taps_key(w.lo, w.hi), nd), dtype)
+
+
+def _deep_decompose(W, wtname: str, L: int, d0: int, budget: int):
+    """Deep-zone level sweep from the transition tensor ``W`` at depth d0
+    (layout (..., P, nd, K), natural node order) to depth L (halves order).
+    Returns the per-depth deep value tensors for depths d0..L."""
+    _, kid_pos, _, _ = packed_shifts(L, budget)
+    deep = [W]
+    for d in range(d0, L):
+        V = deep[-1]
+        kp = np.asarray(kid_pos[d])
+        if len(kp) != V.shape[-3]:
+            V = jnp.take(V, kp, axis=-3)
+        X = jnp.concatenate([V, jnp.roll(V, 1, axis=-2)], axis=-3)
+        nd = X.shape[-2]
+        A = _op(conv._ops.analysis_operator, wtname, nd, X.dtype)
+        C = jnp.einsum("ts,...tk->...sk", A, X,
+                       precision=conv.MATMUL_PRECISION)
+        h = nd // 2
+        deep.append(jnp.concatenate([C[..., :h, :], C[..., h:, :]], axis=-1))
+    return deep
+
+
+def _deep_sweep(costs_deep, L: int, d0: int, budget: int):
+    """Bottom-up 3-way min over the deep zone (layouts (..., P, K)); returns
+    (decisions for depths d0..L in deep/halves order, cstar at depth d0 in
+    deep layout, natural order)."""
+    _, kid_pos, inv, has_kid = packed_shifts(L, budget)
+    costs = costs_deep
+    cstar = costs[L - d0]
+    decisions = [None] * (L - d0 + 1)
+    decisions[L - d0] = jnp.zeros(cstar.shape, jnp.int8)
+    for d in range(L - 1, d0 - 1, -1):
+        Kp = len(kid_pos[d])
+        K = cstar.shape[-1] // 2
+        pair = cstar[..., :K] + cstar[..., K:]
+        u_k = pair[..., :Kp, :]
+        s_k = pair[..., Kp:, :]
+        hk = jnp.asarray(np.asarray(has_kid[d]))[:, None]
+        iv = np.asarray(inv[d])
+        inf = jnp.asarray(np.inf, pair.dtype)
+        u = jnp.where(hk, jnp.take(u_k, iv, axis=-2), inf)
+        s = jnp.where(hk, jnp.take(s_k, iv, axis=-2), inf)
+        c = costs[d - d0]
+        node_min = (c < u) & (c < s)
+        u_min = (~node_min) & (u < s)
+        dec = jnp.where(node_min, jnp.int8(0),
+                        jnp.where(u_min, jnp.int8(1), jnp.int8(2)))
+        cstar = jnp.where(node_min, c, jnp.where(u_min, u, s))
+        decisions[d - d0] = dec
+    return decisions, cstar
+
+
+def _deep_reconstruct(deep_vals, decisions, wtname: str, L: int, d0: int,
+                      budget: int):
+    """Mirror of :func:`_deep_decompose`: bottom-up synthesis through the
+    deep zone, returning the depth-d0 tensor in deep layout."""
+    _, kid_pos, inv, _ = packed_shifts(L, budget)
+    R = deep_vals[L - d0]
+    for d in range(L - 1, d0 - 1, -1):
+        Kp = len(kid_pos[d])
+        K = R.shape[-1] // 2
+        h = R.shape[-2]
+        C = jnp.concatenate([R[..., :K], R[..., K:]], axis=-2)  # [w1; w2]
+        S = _op(conv._ops.synthesis_operator, wtname, 2 * h, C.dtype)
+        y = jnp.einsum("st,...sk->...tk", S, C,
+                       precision=conv.MATMUL_PRECISION)
+        y_u = y[..., :Kp, :, :]
+        y_s = jnp.roll(y[..., Kp:, :, :], -1, axis=-2)
+        iv = np.asarray(inv[d])
+        y_u = jnp.take(y_u, iv, axis=-3)
+        y_s = jnp.take(y_s, iv, axis=-3)
+        dec = decisions[d - d0][..., None, :]  # (..., P, 1, K)
+        R = jnp.where(dec == 0, deep_vals[d - d0],
+                      jnp.where(dec == 1, y_u, y_s))
+    return R
+
+
+def _shannon_costs_deep(v, nrm):
+    """Deep-layout twin of :func:`_shannon_costs` (signal on axis -2)."""
+    s = (v / nrm[..., None, None, None]) ** 2
+    return -jnp.sum(jnp.where(s == 0, 0.0, s * jnp.log(s)), axis=-2)
+
+
+def _threshold_vals(vals, t, soft: bool):
+    if t is None:
+        return vals
+
+    def tb(v):
+        if not jnp.ndim(t):
+            return t
+        return t.reshape(t.shape + (1,) * (v.ndim - t.ndim))
+
+    if soft:
+        return tuple(jnp.sign(v) * jnp.maximum(jnp.abs(v) - tb(v), 0.0)
+                     for v in vals)
+    return tuple(jnp.where(jnp.abs(v) > tb(v), v, 0.0) for v in vals)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("wtname", "L", "budget", "soft"))
 def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
-    vals = _decompose_packed(x, wtname, L, budget)
+    n = x.shape[-1]
+    d0 = _deep_transition(n, L)
+    if d0 is None:
+        vals = _decompose_packed(x, wtname, L, budget)
+        nrm = jnp.linalg.norm(x, axis=-1)
+        costs = tuple(_shannon_costs(v, nrm) for v in vals)
+        decisions, mincost = _bestbasis_sweep_packed(costs, L, budget)
+        vals = _threshold_vals(vals, t, soft)
+        return (_reconstruct_sweep_packed(vals, decisions, wtname, L,
+                                          budget),
+                mincost)
+
+    # hybrid: shallow packed layout to depth d0, deep layout beyond
     nrm = jnp.linalg.norm(x, axis=-1)
-    costs = tuple(_shannon_costs(v, nrm) for v in vals)
-    decisions, mincost = _bestbasis_sweep_packed(costs, L, budget)
-    if t is not None:
-        tb = t[..., None, None, None] if jnp.ndim(t) else t
-        if soft:
-            vals = tuple(jnp.sign(v) * jnp.maximum(jnp.abs(v) - tb, 0.0)
-                         for v in vals)
-        else:
-            vals = tuple(jnp.where(jnp.abs(v) > tb, v, 0.0) for v in vals)
-    return (_reconstruct_sweep_packed(vals, decisions, wtname, L, budget),
-            mincost)
+    shallow = _decompose_packed(x, wtname, d0, budget)  # depths 0..d0
+    # NB: packed_shifts(d0, budget) and packed_shifts(L, budget) agree on
+    # depths < d0 (the expansion rule only consults budget and the lowest
+    # set bit), EXCEPT that min(budget, L - d1) can differ when L - d1 <
+    # budget near the tail — guard by asserting the prefix matches.
+    s_L = packed_shifts(L, budget)[0]
+    s_d0 = packed_shifts(d0, budget)[0]
+    if tuple(s_L[:d0 + 1]) != tuple(s_d0):
+        # rare tail case: rebuild the shallow zone with the L-consistent
+        # masks by decomposing at full L metadata
+        shallow = _decompose_packed_prefix(x, wtname, L, budget, d0)
+    W0 = jnp.moveaxis(shallow[d0], -3, -1)  # (..., P, nd0, K0)
+    deep = _deep_decompose(W0, wtname, L, d0, budget)
+
+    costs_sh = tuple(_shannon_costs(v, nrm) for v in shallow[:-1])
+    costs_dp = tuple(_shannon_costs_deep(v, nrm) for v in deep)
+    dec_dp, cstar_d0 = _deep_sweep(costs_dp, L, d0, budget)
+    # continue the shallow packed sweep from depth d0 with the deep seed
+    cstar = jnp.moveaxis(cstar_d0, -2, -1)  # (..., K0, P)
+    _, kid_pos, inv, has_kid = packed_shifts(L, budget)
+    decisions_sh = [None] * d0
+    for d in range(d0 - 1, -1, -1):
+        K = len(kid_pos[d])
+        sh = cstar.shape
+        pair = cstar.reshape(*sh[:-2], sh[-2] // 2, 2, sh[-1]).sum(axis=-2)
+        u_k = pair[..., :K]
+        s_k = pair[..., K:]
+        hk = jnp.asarray(np.asarray(has_kid[d]))
+        iv = np.asarray(inv[d])
+        inf = jnp.asarray(np.inf, pair.dtype)
+        u = jnp.where(hk, jnp.take(u_k, iv, axis=-1), inf)
+        s = jnp.where(hk, jnp.take(s_k, iv, axis=-1), inf)
+        c = costs_sh[d]
+        node_min = (c < u) & (c < s)
+        u_min = (~node_min) & (u < s)
+        decisions_sh[d] = jnp.where(node_min, jnp.int8(0),
+                                    jnp.where(u_min, jnp.int8(1),
+                                              jnp.int8(2)))
+        cstar = jnp.where(node_min, c, jnp.where(u_min, u, s))
+    mincost = cstar[..., 0, 0]
+
+    shallow = _threshold_vals(shallow, t, soft)
+    deep = _threshold_vals(deep, t, soft)
+    R_d0 = _deep_reconstruct(deep, dec_dp, wtname, L, d0, budget)
+    R = jnp.moveaxis(R_d0, -1, -3)  # back to (..., K0, P, nd0)
+    w = _wavelet(wtname)
+    for d in range(d0 - 1, -1, -1):
+        K = len(kid_pos[d])
+        sh = R.shape
+        pair = R.reshape(*sh[:-3], sh[-3] // 2, 2, sh[-2], sh[-1])
+        y = conv.synthesis_step(pair[..., 0, :, :], pair[..., 1, :, :],
+                                w.lo, w.hi)
+        y_u = y[..., :K, :]
+        y_s = jnp.roll(y[..., K:, :], -1, axis=-1)
+        iv = np.asarray(inv[d])
+        dec = decisions_sh[d][..., None]
+        R = jnp.where(dec == 0, shallow[d],
+                      jnp.where(dec == 1, jnp.take(y_u, iv, axis=-2),
+                                jnp.take(y_s, iv, axis=-2)))
+    return R[..., 0, 0, :], mincost
+
+
+def _decompose_packed_prefix(x, wtname: str, L: int, budget: int, d0: int):
+    """First d0+1 depths of the L-deep packed decomposition (used when the
+    d0-truncated shift metadata would disagree with the full-L metadata)."""
+    w = _wavelet(wtname)
+    _, kid_pos, _, _ = packed_shifts(L, budget)
+    vals = [x[..., None, None, :]]
+    for d in range(d0):
+        V = vals[d]
+        kp = np.asarray(kid_pos[d])
+        P = V if len(kp) == V.shape[-2] else jnp.take(V, kp, axis=-2)
+        X = jnp.concatenate([P, jnp.roll(P, 1, axis=-1)], axis=-2)
+        w1, w2 = conv.analysis_step(X, w.lo, w.hi)
+        child = jnp.stack([w1, w2], axis=-3)
+        sh = child.shape
+        vals.append(child.reshape(*sh[:-4], sh[-4] * 2, sh[-2], sh[-1]))
+    return tuple(vals)
 
 
 def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
