@@ -153,6 +153,21 @@ def _wpt_level_inv(nxt, d: int, lo, hi):
     return v.reshape(*nxt.shape[:-1], n)
 
 
+def _level2_cutoff() -> int:
+    """Per-level-step 2-D matmul cutoff, keyed on the dot precision.
+
+    On-chip sweep of the streamed 2-D JBB pipeline (c4, BENCHMARKS.md round
+    3): at HIGHEST (6-pass f32 MXU) the separable window/conv path beats the
+    per-node An^T @ node @ Am matmuls for big nodes — cutoff 64 measured
+    0.78 vs 0.97 ms at 512 — while the 1-D level step prefers matmuls at
+    every size (5,590 vs 3,127 Msps), so this cutoff is 2-D only.  At
+    DEFAULT/HIGH the 1-pass MXU is nearly free and matmuls win again."""
+    import jax
+    if conv.MATMUL_PRECISION == jax.lax.Precision.HIGHEST:
+        return 64
+    return _kops.MATMUL_CUTOFF
+
+
 def _wpt_level_fwd2(cur, d: int, lo, hi):
     """2-D packet level on (..., n, m): split each of the 4^d nodes into 4.
 
@@ -164,7 +179,7 @@ def _wpt_level_fwd2(cur, d: int, lo, hi):
     bn, bm = n // g, m // g
     nodes = cur.reshape(*cur.shape[:-2], g, bn, g, bm)
     nodes = jnp.moveaxis(nodes, -2, -3)  # (..., g, g, bn, bm)
-    if max(bn, bm) <= _kops.MATMUL_CUTOFF:
+    if max(bn, bm) <= _level2_cutoff():
         tk = _kops.taps_key(lo, hi)
         An = _kops.analysis_operator(tk, bn)
         Am = An if bm == bn else _kops.analysis_operator(tk, bm)
@@ -188,7 +203,7 @@ def _wpt_level_inv2(nxt, d: int, lo, hi):
     bn, bm = n // g, m // g
     nodes = nxt.reshape(*nxt.shape[:-2], g, bn, g, bm)
     nodes = jnp.moveaxis(nodes, -2, -3)          # (..., g, g, bn, bm)
-    if max(bn, bm) <= _kops.MATMUL_CUTOFF:
+    if max(bn, bm) <= _level2_cutoff():
         tk = _kops.taps_key(lo, hi)
         Sn = _kops.synthesis_operator(tk, bn)
         Sm = Sn if bm == bn else _kops.synthesis_operator(tk, bm)
