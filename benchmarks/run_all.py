@@ -41,8 +41,12 @@ def slope_time(fn, x, klo, khi, reps=3):
     """Seconds per fn application (fn must be shape-preserving).
 
     ONE compiled program — k is a traced fori_loop bound (same executable
-    for both k values; see bench.py).  Pick khi so khi*dt clears the ~1 ms
-    tunnel timer noise, else the slope can come out negative."""
+    for both k values; see bench.py).  Escalates khi until the t_hi - t_lo
+    gap clears the ~1 ms tunnel timer noise floor (same guard as bench.py;
+    a 0.3 ms gap once produced a committed 183 Gsps artifact — above the
+    HBM roofline)."""
+    MIN_GAP_S = 3e-3
+
     @jax.jit
     def chain(a, k):
         out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), a)
@@ -58,7 +62,13 @@ def slope_time(fn, x, klo, khi, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
     t(klo)
-    return max((t(khi) - t(klo)) / (khi - klo), 1e-9)
+    for _ in range(5):
+        t_lo, t_hi = t(klo), t(khi)
+        if t_hi - t_lo >= MIN_GAP_S:
+            break
+        khi *= 2
+        t(khi)  # warm the new dispatch path
+    return max((t_hi - t_lo) / (khi - klo), 1e-9)
 
 
 def wall_time(fn, *args, reps=3):
