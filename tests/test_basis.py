@@ -295,6 +295,26 @@ def test_pipeline_rejects_bad_level():
         wx.bestbasis_pipeline(jnp.zeros((4, 64)), "db4", 10)
 
 
+@pytest.mark.parametrize("method", ["jbb", "bb", "lsdb"])
+def test_stack_costs_extract_match_streamed(method):
+    """The stack-based cost/extraction twins (used when the Pallas wpd2
+    stack kernel engages on TPU) must match the streamed path exactly for
+    every best-basis method, including per-signal BB trees."""
+    m = {"jbb": wx.JBB(), "bb": wx.BB(), "lsdb": wx.LSDB()}[method]
+    X = jnp.asarray(RNG.standard_normal((4, 32, 32)).astype(np.float32))
+    L = 3
+    xw = wx.wpd2(X, "db4", L)
+    costs_stream = basis._stream_costs(X, "db4", L, m, True)
+    costs_stack = basis._stack_costs(xw, m, True)
+    np.testing.assert_allclose(np.asarray(costs_stack),
+                               np.asarray(costs_stream), atol=1e-5)
+    tree = basis.bestbasis_treeselection_dev(costs_stream, 32, 32)
+    ext_stream = basis._stream_extract(X, "db4", L, tree, True)
+    ext_stack = basis._stack_extract(xw, tree, True)
+    np.testing.assert_allclose(np.asarray(ext_stack),
+                               np.asarray(ext_stream), atol=1e-5)
+
+
 def test_jbb_covariance_costs_match_streamed():
     """The one-pass covariance JBB moments must match the streamed per-level
     moments (and the host tree_costs) to float64 precision."""

@@ -87,6 +87,20 @@ def test_interpret_wpt2_matches_xla(shape, L, cutoff):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape,L", [((2, 64, 128), 2), ((1, 128, 128), 3)])
+def test_interpret_wpd2_stack_matches_xla(shape, L):
+    """All-levels 2-D stack kernel through the interpreter vs the XLA wpd2
+    path (every level plane, rectangular and deeper-square cases)."""
+    from waveletsext_tpu.kernels.pallas_wpt2 import wpd2_pallas
+    from waveletsext_tpu.transforms.dwt import wpd2
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    got = np.asarray(wpd2_pallas(x, "db4", L, interpret=True))
+    ref = np.asarray(wpd2(x.astype(jnp.float64), "db4", L))
+    assert got.shape == ref.shape == shape[:1] + (L + 1,) + shape[1:]
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
 def test_interpret_iwpt2_roundtrip():
     from waveletsext_tpu.kernels.pallas_wpt2 import wpt2_pallas, iwpt2_pallas
     rng = np.random.default_rng(9)

@@ -524,20 +524,72 @@ def _stream_costs(x, wtname, L: int, method, is2d: bool):
     cur = x
     out = []
     for d in range(L + 1):
-        if isinstance(method, JBB):
-            EX = jnp.mean(cur, axis=0)
-            EX2 = jnp.mean(cur ** 2, axis=0)
-            plane = jnp.sqrt(jnp.maximum(EX2 - EX ** 2, 0.0))
-            out.append(level_costs(plane, d, method.cost))
-        elif isinstance(method, LSDB):
-            plane = jnp.moveaxis(cur, 0, -1)  # sample axis last
-            out.append(level_costs(plane, d, method.cost))
-        else:  # BB, batched per-signal -> (N, 2^d) per level
-            out.append(jax.vmap(
-                lambda s, r: level_costs(s, d, method.cost, r))(cur, nrm))
+        out.append(_method_level_costs(cur, d, method, level_costs,
+                                       nrm if per_signal else None))
         if d < L:
             cur = step(cur, d, w.lo, w.hi)
     return jnp.concatenate(out, axis=-1)
+
+
+def _method_level_costs(cur, d: int, method, level_costs, nrm):
+    """Per-node costs of one packed level plane, per best-basis method
+    (shared by the streamed and stack-based pipelines)."""
+    if isinstance(method, JBB):
+        EX = jnp.mean(cur, axis=0)
+        EX2 = jnp.mean(cur ** 2, axis=0)
+        plane = jnp.sqrt(jnp.maximum(EX2 - EX ** 2, 0.0))
+        return level_costs(plane, d, method.cost)
+    if isinstance(method, LSDB):
+        plane = jnp.moveaxis(cur, 0, -1)  # sample axis last
+        return level_costs(plane, d, method.cost)
+    return jax.vmap(  # BB, batched per-signal -> (N, 2^d)
+        lambda s, r: level_costs(s, d, method.cost, r))(cur, nrm)
+
+
+def _stack_costs(xw, method, is2d: bool):
+    """Per-node cost vector from a materialized wpd/wpd2 stack (used when
+    the fused Pallas stack kernel produced the whole stack in one VMEM trip
+    — cheaper than re-stepping the levels, transforms.dwt._try_pallas_wpd2)."""
+    level_axis = -3 if is2d else -2
+    L = xw.shape[level_axis] - 1
+    level_costs = _level_costs_2d if is2d else _level_costs_1d
+    if isinstance(method, BB):
+        x0 = jnp.take(xw, 0, axis=level_axis)
+        nrm = jnp.sqrt(jnp.sum(x0.reshape(x0.shape[0], -1) ** 2, axis=-1))
+    else:
+        nrm = None
+    return jnp.concatenate(
+        [_method_level_costs(jnp.take(xw, d, axis=level_axis), d, method,
+                             level_costs, nrm)
+         for d in range(L + 1)], axis=-1)
+
+
+def _stack_extract(xw, tree, is2d: bool):
+    """Leaf-mask basis-coefficient extraction from a materialized stack
+    (plane-reading twin of :func:`_stream_extract`)."""
+    from .utils import leaf_masks_dyn, leaf_masks2_dyn
+    level_axis = -3 if is2d else -2
+    L = xw.shape[level_axis] - 1
+    if is2d:
+        n, m = xw.shape[-2:]
+        masks = leaf_masks2_dyn(tree, L)
+    else:
+        n, m = xw.shape[-1], None
+        masks = leaf_masks_dyn(tree, L)
+    lead = jnp.broadcast_shapes(xw.shape[:level_axis], tree.shape[:-1])
+    acc = jnp.zeros(lead + xw.shape[-2 if is2d else -1:], xw.dtype)
+    for d in range(L + 1):
+        cur = jnp.take(xw, d, axis=level_axis)
+        g = 1 << d
+        if is2d:
+            blk = cur.reshape(cur.shape[:-2] + (g, n >> d, g, m >> d))
+            sel = jnp.where(masks[d][..., :, None, :, None], blk, 0.0)
+            acc = acc + sel.reshape(sel.shape[:-4] + (n, m))
+        else:
+            blk = cur.reshape(cur.shape[:-1] + (g, n >> d))
+            sel = jnp.where(masks[d][..., :, None], blk, 0.0)
+            acc = acc + sel.reshape(sel.shape[:-2] + (n,))
+    return acc
 
 
 def _stream_extract(x, wtname, L: int, tree, is2d: bool):
@@ -601,14 +653,34 @@ def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     n, m, L, single = _pipeline_dims(x, L, is2d)
     if single:
         x = x[None]
-    costs = _stream_costs(x, wt, L, method, is2d)
+    costs, coefs_fn = _pipeline_costs(x, wt, L, method, is2d)
     tree = bestbasis_treeselection_dev(costs, n, m)
-    coefs = _stream_extract(x, wt, L, tree, is2d)
+    coefs = coefs_fn(tree)
     if single:
         coefs = coefs[0]
         if isinstance(method, BB):
             tree = tree[0]
     return tree, coefs
+
+
+def _pipeline_costs(x, wt, L, method, is2d):
+    """(costs, extract_fn): stack-based when the fused Pallas stack kernel
+    engages (one VMEM trip emits every level plane), streamed otherwise."""
+    import jax as _jax
+    from .transforms import dwt as _dwt_mod
+    from .transforms.dwt import _pallas_wpd2_ok, _wt as _dwt_wt
+    from .kernels import conv as _conv
+    # stack path only at HIGHEST: there the per-level 6-pass matmuls are the
+    # stream path's bound (0.98-1.22 -> 0.67 ms at c4); at DEFAULT the
+    # 1-pass composed matmuls already beat the VPU stack kernel (0.42-0.52
+    # vs 0.72 ms measured)
+    if (is2d and _conv.MATMUL_PRECISION == _jax.lax.Precision.HIGHEST
+            and _pallas_wpd2_ok(x, _dwt_wt(wt), L)):
+        xw = _dwt_mod.wpd2(x, wt, L)
+        return (_stack_costs(xw, method, True),
+                lambda tree: _stack_extract(xw, tree, True))
+    return (_stream_costs(x, wt, L, method, is2d),
+            lambda tree: _stream_extract(x, wt, L, tree, is2d))
 
 
 @apijit("wt", "L", "method", "is2d")
@@ -620,9 +692,9 @@ def bestbasisall_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     n, m, L, single = _pipeline_dims(x, L, is2d)
     if single:
         x = x[None]
-    costs = _stream_costs(x, wt, L, method, is2d)
+    costs, coefs_fn = _pipeline_costs(x, wt, L, method, is2d)
     trees = bestbasis_treeselection_dev(costs, n, m)
-    coefs = _stream_extract(x, wt, L, trees, is2d)
+    coefs = coefs_fn(trees)
     if single:
         trees, coefs = trees[0], coefs[0]
     return trees, coefs

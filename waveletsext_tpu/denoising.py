@@ -208,6 +208,22 @@ def _median_sorted(s):
     return 0.5 * (s[..., m // 2 - 1] + s[..., m // 2])
 
 
+def _mad_sigma(dr):
+    """sigma = median(|dr - median(dr)|) / 0.6745 from ONE sort along the
+    last axis (the V-shaped order-statistic trick of :func:`noisest`;
+    exactly equal to the two-median formulation)."""
+    s = jnp.sort(dr, axis=-1)
+    med = _median_sorted(s)
+    d = jnp.abs(s - med[..., None])
+    m = d.shape[-1]
+    if m % 2:
+        mad = _kth_smallest_vshaped(d, m // 2)
+    else:
+        mad = 0.5 * (_kth_smallest_vshaped(d, m // 2 - 1)
+                     + _kth_smallest_vshaped(d, m // 2))
+    return mad / 0.6745
+
+
 @apijit("redundant", "tree")
 def noisest(x, redundant: bool = False, tree=None):
     """MAD-based noise sigma from the finest detail coefficients
@@ -227,16 +243,7 @@ def noisest(x, redundant: bool = False, tree=None):
     else:
         _, node = finestdetailrange(n, np.asarray(tree, bool), True)
         dr = x[..., node - 1, :]
-    s = jnp.sort(dr, axis=-1)
-    med = _median_sorted(s)
-    d = jnp.abs(s - med[..., None])  # V-shaped along the sorted axis
-    m = d.shape[-1]
-    if m % 2:
-        mad = _kth_smallest_vshaped(d, m // 2)
-    else:
-        mad = 0.5 * (_kth_smallest_vshaped(d, m // 2 - 1)
-                     + _kth_smallest_vshaped(d, m // 2))
-    return mad / 0.6745
+    return _mad_sigma(dr)
 
 
 def _findelbow(x, y, valid_n):
@@ -469,8 +476,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     # recomputed from one level step (cheap next to the stack it replaces)
     w = _wt(wt)
     dr = _wpt_level_fwd(x, 0, w.lo, w.hi)[..., n // 2:]
-    med = jnp.median(dr, axis=-1, keepdims=True)
-    sigma = jnp.median(jnp.abs(dr - med), axis=-1, keepdims=True) / 0.6745
+    sigma = _mad_sigma(dr)[..., None]
     t = sigma * np.sqrt(2.0 * np.log(n))
     if soft:
         shrunk = jnp.sign(coefs) * jnp.maximum(jnp.abs(coefs) - t, 0.0)
@@ -488,7 +494,8 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
         band = (n >> lvl0)                    # (..., 1) scaling-leaf length
         pos = jnp.arange(n)
         shrunk = jnp.where(pos < band, coefs, shrunk)
-    return _dwt_mod.iwpt_dyn(shrunk, wt, tree).reshape(lead + (n,))
+    return _dwt_mod.iwpt_dyn(shrunk, wt, tree,
+                             levels=L).reshape(lead + (n,))
 
 
 @apijit("wt", "L", "method", "soft", "smooth")
@@ -501,7 +508,7 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
     sigma from a recomputed level-1 HH quadrant -> VisuShrink
     t = sigma*sqrt(2 ln(n m)) -> threshold -> dynamic quadtree inverse,
     one XLA program."""
-    from .basis import (_stream_costs, _stream_extract,
+    from .basis import (_pipeline_costs,
                         bestbasis_treeselection_dev, JBB, BB)
     from .transforms.dwt import _wpt_level_fwd2, _default_levels, _wt
     method = JBB() if method is None else method
@@ -509,17 +516,15 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
     L = _default_levels(min(n, m), L)
     lead = x.shape[:-2]
     xf = x.reshape((-1, n, m))  # flatten batch dims (JBB joins the lot)
-    costs = _stream_costs(xf, wt, L, method, True)
+    costs, coefs_fn = _pipeline_costs(xf, wt, L, method, True)
     tree = bestbasis_treeselection_dev(costs, n, m)
-    coefs = _stream_extract(xf, wt, L, tree, True)
+    coefs = coefs_fn(tree)
     # sigma: MAD of the finest-detail (level-1 HH quadrant) coefficients,
     # recomputed from one level step (cheap next to the stack it replaces)
     w = _wt(wt)
     lvl1 = _wpt_level_fwd2(xf, 0, w.lo, w.hi)
     dr = lvl1[..., n // 2:, m // 2:].reshape(xf.shape[0], -1)
-    med = jnp.median(dr, axis=-1, keepdims=True)
-    sigma = (jnp.median(jnp.abs(dr - med), axis=-1, keepdims=True)
-             / 0.6745)[..., None]
+    sigma = _mad_sigma(dr)[..., None, None]
     t = sigma * np.sqrt(2.0 * np.log(n * m))
     if soft:
         shrunk = jnp.sign(coefs) * jnp.maximum(jnp.abs(coefs) - t, 0.0)
@@ -539,5 +544,5 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
         cols = jnp.arange(m)[None, :]
         keep = (rows < (n >> lvl0)) & (cols < (m >> lvl0))
         shrunk = jnp.where(keep, coefs, shrunk)
-    out = _dwt_mod.iwpt2_dyn(shrunk, wt, tree)
+    out = _dwt_mod.iwpt2_dyn(shrunk, wt, tree, levels=L)
     return out.reshape(lead + (n, m))

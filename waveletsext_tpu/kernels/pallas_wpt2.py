@@ -200,6 +200,60 @@ def _wpt2_pallas_jit(x, wt, L: int, precision, in_cutoff: int | None,
     )(x, AnT, AmT)
 
 
+def _make_kernel2_stack(n: int, m: int, L: int, lo, hi):
+    """All-levels 2-D packet stack kernel: one VMEM trip emits every level
+    plane (the wpd2 layout).  Every level runs as polyphase window
+    correlates on the VPU — with all planes needed there is no multi-level
+    operator to compose, and the one-level (bs, bs) matmul at HIGHEST is
+    6-pass MXU work the VPU beats (see transforms.dwt._level2_cutoff)."""
+
+    def kernel(x_ref, y_ref):
+        cur = x_ref[0].astype(jnp.float32)  # (n, m)
+        y_ref[0, 0] = cur.astype(y_ref.dtype)
+        dims = (n, m)
+        for d in range(L):
+            for axis in range(2):  # columns pass, then (transposed) rows
+                bs = dims[axis] >> d
+                pieces = []
+                for p in range(1 << d):
+                    w1, w2 = _node_level(cur[p * bs:(p + 1) * bs, :], lo, hi)
+                    pieces.append(w1)
+                    pieces.append(w2)
+                cur = jnp.concatenate(pieces, axis=0).T
+            y_ref[0, d + 1] = cur.astype(y_ref.dtype)
+    return kernel
+
+
+def wpd2_pallas(x, wt: str, L: int, interpret: bool = False):
+    """Fused 2-D wavelet packet stack for (B, n, m) f32/bf16 on TPU:
+    (B, n, m) -> (B, L+1, n, m) (transforms.dwt.wpd2 layout, level 0 = the
+    image).  Reference semantics: DWT.jl:164-209."""
+    return _wpd2_pallas_jit(x, wt, L, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "interpret"),
+                   inline=True)
+def _wpd2_pallas_jit(x, wt, L: int, interpret: bool):
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    B, n, m = x.shape
+    kernel = _make_kernel2_stack(n, m, L, w.lo, w.hi)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, n, m), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, L + 1, n, m), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, L + 1, n, m), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n * m * 2 * len(w.lo) * 2 * L,
+            bytes_accessed=B * n * m * (L + 2) * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(x)
+
+
 def iwpt2_pallas(y, wt: str, L: int, precision=None,
                  in_cutoff: int | None = None, interpret: bool = False):
     """Fused 2-D inverse WPT — mirror of :func:`wpt2_pallas` (composed

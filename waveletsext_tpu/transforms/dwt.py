@@ -103,6 +103,29 @@ def _try_pallas_wpt2(x, w, L: int):
     return out.reshape(*x.shape[:-2], n, m)
 
 
+def _pallas_wpd2_ok(x, w, L: int) -> bool:
+    """Would the fused 2-D stack kernel engage?  (Shared with the best-basis
+    pipelines, which pick stack-based costs/extraction when it does.)"""
+    if x.ndim < 3 or x.dtype not in (jnp.float32, jnp.bfloat16):
+        return False
+    n, m = x.shape[-2:]
+    F = len(w.lo)
+    return (1 <= L <= 6 and (min(n, m) >> L) >= 2 * F and F % 2 == 0
+            and n % 8 == 0 and m % 128 == 0 and _tpu_backend())
+
+
+def _try_pallas_wpd2(x, w, L: int):
+    """Dispatch wpd2 to the all-levels Pallas stack kernel (one VMEM trip
+    emits every level plane) when supported."""
+    if not _pallas_wpd2_ok(x, w, L):
+        return None
+    from ..kernels.pallas_wpt2 import wpd2_pallas
+    n, m = x.shape[-2:]
+    B = int(np.prod(x.shape[:-2]))
+    out = wpd2_pallas(x.reshape(B, n, m), w.name, L)
+    return out.reshape(*x.shape[:-2], L + 1, n, m)
+
+
 def _try_pallas_iwpt2(y, w, L: int):
     if y.ndim < 3 or y.dtype not in (jnp.float32, jnp.bfloat16):
         return None
@@ -203,7 +226,11 @@ def _wpt_level_inv2(nxt, d: int, lo, hi):
     bn, bm = n // g, m // g
     nodes = nxt.reshape(*nxt.shape[:-2], g, bn, g, bm)
     nodes = jnp.moveaxis(nodes, -2, -3)          # (..., g, g, bn, bm)
-    if max(bn, bm) <= _level2_cutoff():
+    # NB: the forward's precision-keyed low cutoff does NOT apply here —
+    # the conv synthesis lowering measured ~10x slower than the matmuls at
+    # c4 sizes (6.9 vs 1.3 ms through iwpt2_dyn), so the inverse keeps the
+    # matmul path at every precision
+    if max(bn, bm) <= _kops.MATMUL_CUTOFF:
         tk = _kops.taps_key(lo, hi)
         Sn = _kops.synthesis_operator(tk, bn)
         Sm = Sn if bm == bn else _kops.synthesis_operator(tk, bm)
@@ -249,6 +276,9 @@ def wpd2(x, wt, L: int | None = None):
     w = _wt(wt)
     n, m = x.shape[-2:]
     L = _default_levels(min(n, m), L)
+    fused = _try_pallas_wpd2(x, w, L)
+    if fused is not None:
+        return fused
     slices = [x]
     cur = x
     for d in range(L):
@@ -511,12 +541,16 @@ def _dyn_depth(nt: int, n: int, quad: bool) -> int:
     return min(Dt + 1, lim)
 
 
-def iwpt_dyn(y, wt, tree):
+def iwpt_dyn(y, wt, tree, levels: int | None = None):
     """:func:`iwpt` under a device tree — ``(nt,)`` shared or ``(..., nt)``
-    per-signal bool."""
+    per-signal bool.  ``levels``: callers that know the decomposition depth
+    (the fused pipelines) pass it to skip sweep levels whose marks are
+    structurally false — a full-size synthesis level each."""
     w = _wt(wt)
     n = y.shape[-1]
     depth = _dyn_depth(tree.shape[-1], n, quad=False)
+    if levels is not None:
+        depth = min(depth, levels)
     lead = jnp.broadcast_shapes(y.shape[:-1], tree.shape[:-1])
     cur = jnp.broadcast_to(y, lead + (n,))
     for d in range(depth - 1, -1, -1):
@@ -531,11 +565,14 @@ def iwpt_dyn(y, wt, tree):
     return cur
 
 
-def iwpt2_dyn(y, wt, tree):
-    """:func:`iwpt2` under a device quadtree (Z-order node layout)."""
+def iwpt2_dyn(y, wt, tree, levels: int | None = None):
+    """:func:`iwpt2` under a device quadtree (Z-order node layout).
+    ``levels`` as in :func:`iwpt_dyn`."""
     w = _wt(wt)
     n, m = y.shape[-2:]
     depth = _dyn_depth(tree.shape[-1], min(n, m), quad=True)
+    if levels is not None:
+        depth = min(depth, levels)
     lead = jnp.broadcast_shapes(y.shape[:-2], tree.shape[:-1])
     cur = jnp.broadcast_to(y, lead + (n, m))
     for d in range(depth - 1, -1, -1):
