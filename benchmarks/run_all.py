@@ -232,6 +232,12 @@ def main():
     record("c4_jbb_2d_fused", slope_time(c4_fused, x4, 2, 16),
            B4 * n4 * n4, {"B": B4})
 
+    # fused 2-D best-basis VisuShrink denoise (stack costs -> device tree ->
+    # threshold -> depth-trimmed dynamic quadtree inverse, one program)
+    c4_den = lambda a: wx.bestbasis_denoise_pipeline2(a, "db4", L4)
+    record("c4b_bb_denoise_2d_fused", slope_time(c4_den, x4, 2, 16),
+           B4 * n4 * n4, {"B": B4})
+
     # relaxed-precision opt-in (DEFAULT dots, ~2e-3 rel rms — see
     # BENCHMARKS.md precision ladder): measures the documented throughput
     # mode; the accurate HIGHEST numbers above stay the headline.
