@@ -238,6 +238,15 @@ def main():
     record("c4b_bb_denoise_2d_fused", slope_time(c4_den, x4, 2, 16),
            B4 * n4 * n4, {"B": B4})
 
+    # fused 2-D stationary denoise (sdwt2 -> MAD/VisuShrink -> average
+    # inverse) at a smaller image batch — the redundant table is
+    # (3L+1) x n x m per image
+    B4c = 2 if QUICK else 4
+    x4c = x4[:B4c]
+    c4c = lambda a: wx.swt_denoise_pipeline2(a, "db4", L4)
+    record("c4c_swt2_denoise_fused", slope_time(c4c, x4c, 2, 16),
+           B4c * n4 * n4, {"B": B4c, "L": L4})
+
     # relaxed-precision opt-in (DEFAULT dots, ~2e-3 rel rms — see
     # BENCHMARKS.md precision ladder): measures the documented throughput
     # mode; the accurate HIGHEST numbers above stay the headline.

@@ -239,6 +239,36 @@ def test_fused_bestbasis_denoise_2d():
     assert float(jnp.max(jnp.abs(out - clean))) < 1e-8
 
 
+def test_swt_denoise_pipeline2_matches_composition():
+    """The fused 2-D stationary denoiser == manual sdwt2 -> MAD/VisuShrink
+    threshold -> isdwt2 composition, and improves PSNR on noisy images."""
+    rng = np.random.default_rng(23)
+    base = np.asarray(wx.generatesignals("heavisine", 5))
+    img = np.outer(base, base)
+    x0 = jnp.asarray(np.stack([img] * 3).astype(np.float32))
+    x = x0 + 0.05 * jnp.asarray(
+        rng.standard_normal(x0.shape).astype(np.float32))
+    L = 3
+    got = wx.swt_denoise_pipeline2(x, "db4", L)
+    # manual composition
+    xw = wx.sdwt2(x, "db4", L)
+    drm = np.asarray(xw)[:, 3 * L].reshape(3, -1)
+    med = np.median(drm, axis=-1, keepdims=True)
+    sigma = np.median(np.abs(drm - med), axis=-1) / 0.6745
+    t = (sigma * np.sqrt(2 * np.log(32 * 32)))[:, None, None, None]
+    xs = jnp.where(jnp.abs(xw) > t, xw, 0.0)
+    want = wx.isdwt2(xs, "db4")
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    p_no = float(wx.psnr(x, x0))
+    p_dn = float(wx.psnr(got, x0))
+    assert p_dn > p_no
+    # undersmooth spares the LL plane
+    got_u = wx.swt_denoise_pipeline2(x, "db4", L, smooth="undersmooth")
+    xs_u = xs.at[..., 0, :, :].set(xw[..., 0, :, :])
+    want_u = wx.isdwt2(xs_u, "db4")
+    assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=1e-5)
+
+
 def test_fused_denoise_batch_shapes():
     """The fused denoisers accept single inputs and multi-dim batches; a
     (2, 3, ...) batch must equal the flattened (6, ...) batch (one joint

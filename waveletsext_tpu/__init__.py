@@ -28,7 +28,7 @@ from .denoising import (HardTH, SoftTH, SteinTH, threshold, VisuShrink,
                       visushrink, SureShrink, sureshrink, RelErrorShrink,
                       noisest, surethreshold, relerrorthreshold, denoise,
                       denoiseall, bestbasis_denoise_pipeline,
-                      bestbasis_denoise_pipeline2)
+                      bestbasis_denoise_pipeline2, swt_denoise_pipeline2)
 from .basis import (BB, JBB, LSDB, ShannonEntropyCost, LogEnergyEntropyCost,
                     LoglpCost, NormCost, DifferentialEntropyCost, coefcost,
                     tree_costs, bestbasis_treeselection, bestbasistree,

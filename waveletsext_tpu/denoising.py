@@ -546,3 +546,32 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
         shrunk = jnp.where(keep, coefs, shrunk)
     out = _dwt_mod.iwpt2_dyn(shrunk, wt, tree, levels=L)
     return out.reshape(lead + (n, m))
+
+
+@apijit("wt", "L", "soft", "smooth")
+def swt_denoise_pipeline2(x, wt, L: int | None = None, soft: bool = False,
+                          smooth: str = "regular"):
+    """Fused 2-D stationary denoise for image batches ``(..., n, m)``:
+    sdwt2 -> MAD sigma from the finest diagonal (HH, slot 3L) slice ->
+    VisuShrink t = sigma*sqrt(2 ln(n m)) -> hard/soft threshold of every
+    coefficient slice (``undersmooth`` spares the slot-0 LL plane, mirroring
+    the 1-D ``denoise(..., "sdwt")`` flow) -> average-based inverse, one XLA
+    program.  TPU-added convenience: the reference's denoise drivers are
+    1-D (Denoising.jl:483-597); the 2-D stationary pieces exist there only
+    as separate transforms (SWT.jl:132-158, :286-355)."""
+    assert smooth in ("regular", "undersmooth")
+    from .trees import maxtransformlevels as _mtl
+    n, m = x.shape[-2:]
+    L = _mtl(min(n, m)) if L is None else L
+    lead = x.shape[:-2]
+    xf = x.reshape((-1, n, m))
+    xw = _swt_mod.sdwt2(xf, wt, L)                 # (B, 3L+1, n, m)
+    dr = xw[..., 3 * L, :, :].reshape(xf.shape[0], -1)
+    sigma = _mad_sigma(dr)
+    t = (sigma * np.sqrt(2.0 * np.log(n * m)))[..., None, None, None]
+    th = SoftTH() if soft else HardTH()
+    xs = threshold(xw, th, t)
+    if smooth == "undersmooth":
+        xs = xs.at[..., 0, :, :].set(xw[..., 0, :, :])
+    out = _swt_mod.isdwt2(xs, wt)
+    return out.reshape(lead + (n, m))
