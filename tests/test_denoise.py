@@ -249,7 +249,7 @@ def test_swt_denoise_pipeline2_matches_composition():
     x = x0 + 0.05 * jnp.asarray(
         rng.standard_normal(x0.shape).astype(np.float32))
     L = 3
-    got = wx.swt_denoise_pipeline2(x, "db4", L)
+    got = wx.swt_denoise_pipeline2(x, "db4", L, mad_subsample=1)
     # manual composition
     xw = wx.sdwt2(x, "db4", L)
     drm = np.asarray(xw)[:, 3 * L].reshape(3, -1)
@@ -263,10 +263,20 @@ def test_swt_denoise_pipeline2_matches_composition():
     p_dn = float(wx.psnr(got, x0))
     assert p_dn > p_no
     # undersmooth spares the LL plane
-    got_u = wx.swt_denoise_pipeline2(x, "db4", L, smooth="undersmooth")
+    got_u = wx.swt_denoise_pipeline2(x, "db4", L, smooth="undersmooth",
+                                     mad_subsample=1)
     xs_u = xs.at[..., 0, :, :].set(xw[..., 0, :, :])
     want_u = wx.isdwt2(xs_u, "db4")
     assert np.allclose(np.asarray(got_u), np.asarray(want_u), atol=1e-5)
+    # default subsampled-MAD sigma stays within ~10% of the exact estimate
+    # (O(1/sqrt(m/16)) estimator noise), so the outputs stay close
+    sub = drm[:, ::16]
+    med_s = np.median(sub, axis=-1, keepdims=True)
+    sigma_s = np.median(np.abs(sub - med_s), axis=-1) / 0.6745
+    assert np.all(np.abs(sigma_s - sigma) <= 0.25 * sigma + 1e-12)
+    got_s = wx.swt_denoise_pipeline2(x, "db4", L)
+    assert got_s.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(got_s)))
 
 
 def test_fused_denoise_batch_shapes():

@@ -72,3 +72,41 @@ def test_iacdwt_threshold_fusion_matches_denoise():
     ref = np.asarray(wx.iacdwt(xs.astype(jnp.float64)))
     got = np.asarray(iacdwt_pallas(xw, t, has_t=True, interpret=True))
     np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_sdwt2_pallas_matches_xla():
+    """2-D à-trous stack kernel (interpreter) vs transforms.swt.sdwt2."""
+    from waveletsext_tpu.kernels.pallas_swt2 import sdwt2_pallas
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 32, 128)).astype(np.float32))
+    L = 3
+    got = np.asarray(sdwt2_pallas(x, "db4", L, interpret=True))
+    ref = np.asarray(wx.sdwt2(x.astype(jnp.float64), "db4", L))
+    assert got.shape == ref.shape == (2, 3 * L + 1, 32, 128)
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_isdwt2_pallas_roundtrip_and_threshold_fusion():
+    """Adjoint-form 2-D average inverse (interpreter): roundtrips the stack
+    and matches threshold-then-isdwt2 when fusing per-image thresholds."""
+    from waveletsext_tpu.kernels.pallas_swt2 import (sdwt2_pallas,
+                                                     isdwt2_pallas)
+    rng = np.random.default_rng(15)
+    x = jnp.asarray(rng.standard_normal((2, 32, 128)).astype(np.float32))
+    L = 2
+    xw = sdwt2_pallas(x, "db4", L, interpret=True)
+    rec = np.asarray(isdwt2_pallas(xw, "db4", interpret=True))
+    np.testing.assert_allclose(rec, np.asarray(x), atol=1e-4)
+    t = jnp.asarray(rng.uniform(0.3, 0.9, (2,)).astype(np.float32))
+    got = np.asarray(isdwt2_pallas(xw, "db4", t, has_t=True, soft=True,
+                                   interpret=True))
+    xs = jnp.sign(xw) * jnp.maximum(jnp.abs(xw) - t[:, None, None, None],
+                                    0.0)
+    want = np.asarray(wx.isdwt2(xs.astype(jnp.float64), "db4"))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # undersmooth spares the LL plane
+    got_u = np.asarray(isdwt2_pallas(xw, "db4", t, has_t=True, soft=True,
+                                     undersmooth=True, interpret=True))
+    xs_u = xs.at[..., 0, :, :].set(xw[..., 0, :, :])
+    want_u = np.asarray(wx.isdwt2(xs_u.astype(jnp.float64), "db4"))
+    np.testing.assert_allclose(got_u, want_u, atol=1e-4)

@@ -208,6 +208,19 @@ def _median_sorted(s):
     return 0.5 * (s[..., m // 2 - 1] + s[..., m // 2])
 
 
+def _mad_subsample(dr, s: int):
+    """Mid-phase every-s-th subsample along the last axis (the sureshrink
+    pattern: trailing-reshape select, never a strided slice).  A MAD from
+    m/s samples has relative error O(1/sqrt(m/s)) — immaterial for a
+    threshold *scale* once m/s is a few thousand, while sorting the full
+    row dominates whole pipelines (a (4, 65536) sort measured 2.4 ms)."""
+    m = dr.shape[-1]
+    if s <= 1 or m // s < 16:
+        return dr
+    mm = (m // s) * s
+    return dr[..., :mm].reshape(*dr.shape[:-1], mm // s, s)[..., s // 2]
+
+
 def _mad_sigma(dr):
     """sigma = median(|dr - median(dr)|) / 0.6745 from ONE sort along the
     last axis (the V-shaped order-statistic trick of :func:`noisest`;
@@ -498,9 +511,10 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
                              levels=L).reshape(lead + (n,))
 
 
-@apijit("wt", "L", "method", "soft", "smooth")
+@apijit("wt", "L", "method", "soft", "smooth", "mad_subsample")
 def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
-                                soft: bool = False, smooth: str = "regular"):
+                                soft: bool = False, smooth: str = "regular",
+                                mad_subsample: int = 16):
     """2-D analog of :func:`bestbasis_denoise_pipeline` for image batches
     ``(..., n, m)`` (any leading batch shape, or a single image): streamed
     quadtree costs -> device CW selection -> streamed leaf-mask extraction
@@ -524,7 +538,7 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
     w = _wt(wt)
     lvl1 = _wpt_level_fwd2(xf, 0, w.lo, w.hi)
     dr = lvl1[..., n // 2:, m // 2:].reshape(xf.shape[0], -1)
-    sigma = _mad_sigma(dr)[..., None, None]
+    sigma = _mad_sigma(_mad_subsample(dr, mad_subsample))[..., None, None]
     t = sigma * np.sqrt(2.0 * np.log(n * m))
     if soft:
         shrunk = jnp.sign(coefs) * jnp.maximum(jnp.abs(coefs) - t, 0.0)
@@ -548,9 +562,9 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
     return out.reshape(lead + (n, m))
 
 
-@apijit("wt", "L", "soft", "smooth")
+@apijit("wt", "L", "soft", "smooth", "mad_subsample")
 def swt_denoise_pipeline2(x, wt, L: int | None = None, soft: bool = False,
-                          smooth: str = "regular"):
+                          smooth: str = "regular", mad_subsample: int = 16):
     """Fused 2-D stationary denoise for image batches ``(..., n, m)``:
     sdwt2 -> MAD sigma from the finest diagonal (HH, slot 3L) slice ->
     VisuShrink t = sigma*sqrt(2 ln(n m)) -> hard/soft threshold of every
@@ -558,7 +572,11 @@ def swt_denoise_pipeline2(x, wt, L: int | None = None, soft: bool = False,
     the 1-D ``denoise(..., "sdwt")`` flow) -> average-based inverse, one XLA
     program.  TPU-added convenience: the reference's denoise drivers are
     1-D (Denoising.jl:483-597); the 2-D stationary pieces exist there only
-    as separate transforms (SWT.jl:132-158, :286-355)."""
+    as separate transforms (SWT.jl:132-158, :286-355).
+
+    ``mad_subsample``: the sigma estimate reads every s-th HH coefficient
+    (pass 1 for the exact full-plane MAD — sorting the full n*m row is the
+    single most expensive op of this pipeline on TPU)."""
     assert smooth in ("regular", "undersmooth")
     from .trees import maxtransformlevels as _mtl
     n, m = x.shape[-2:]
@@ -567,8 +585,17 @@ def swt_denoise_pipeline2(x, wt, L: int | None = None, soft: bool = False,
     xf = x.reshape((-1, n, m))
     xw = _swt_mod.sdwt2(xf, wt, L)                 # (B, 3L+1, n, m)
     dr = xw[..., 3 * L, :, :].reshape(xf.shape[0], -1)
-    sigma = _mad_sigma(dr)
-    t = (sigma * np.sqrt(2.0 * np.log(n * m)))[..., None, None, None]
+    sigma = _mad_sigma(_mad_subsample(dr, mad_subsample))
+    tv = sigma * np.sqrt(2.0 * np.log(n * m))
+    from .transforms.swt import _pallas_stack2_ok
+    if _pallas_stack2_ok(xw):
+        # threshold fused into the inverse kernel: one VMEM trip per image
+        from .kernels.pallas_swt2 import isdwt2_pallas
+        from .transforms.dwt import _wt as _resolve_wt
+        out = isdwt2_pallas(xw, _resolve_wt(wt), tv, has_t=True, soft=soft,
+                            undersmooth=(smooth == "undersmooth"))
+        return out.reshape(lead + (n, m))
+    t = tv[..., None, None, None]
     th = SoftTH() if soft else HardTH()
     xs = threshold(xw, th, t)
     if smooth == "undersmooth":

@@ -76,6 +76,35 @@ def _try_pallas_isdwt(xw, w):
     return out.reshape(*xw.shape[:-2], n)
 
 
+def _pallas_stack2_ok(x) -> bool:
+    """Dispatch guard for the fused 2-D à-trous kernels: (..., [P,] n, m)
+    image layouts, f32/bf16, lane-aligned m, on TPU."""
+    from .dwt import _tpu_backend
+    n, m = x.shape[-2:]
+    return (x.dtype in (jnp.float32, jnp.bfloat16) and n % 8 == 0
+            and m % 128 == 0 and _tpu_backend())
+
+
+def _try_pallas_sdwt2(x, w, L: int):
+    if x.ndim < 3 or not _pallas_stack2_ok(x):
+        return None
+    from ..kernels.pallas_swt2 import sdwt2_pallas
+    n, m = x.shape[-2:]
+    B = int(np.prod(x.shape[:-2]))
+    out = sdwt2_pallas(x.reshape(B, n, m), w, L)
+    return out.reshape(*x.shape[:-2], 3 * L + 1, n, m)
+
+
+def _try_pallas_isdwt2(xw, w):
+    if xw.ndim < 4 or not _pallas_stack2_ok(xw):
+        return None
+    from ..kernels.pallas_swt2 import isdwt2_pallas
+    P, n, m = xw.shape[-3:]
+    B = int(np.prod(xw.shape[:-3]))
+    out = isdwt2_pallas(xw.reshape(B, P, n, m), w)
+    return out.reshape(*xw.shape[:-3], n, m)
+
+
 def _shift_merge(w1, w2, d, sv, sw, lo, hi):
     """Shift-based inverse step writing onto base ``w1`` (the reference's
     in-place discipline: only the sv-coset is rewritten; other positions keep
@@ -143,6 +172,9 @@ def sdwt2(x, wt, L: int | None = None):
     the final LL."""
     w = _wt(wt)
     L = _levels(min(x.shape[-2:]), L)
+    fused = _try_pallas_sdwt2(x, w, L)
+    if fused is not None:
+        return fused
     cur = x
     slots = {}
     for d in range(L):
@@ -180,6 +212,10 @@ def isdwt2(xw, wt, sm: int | None = None):
     """Inverse 2-D SDWT (SWT.jl:286-355)."""
     w = _wt(wt)
     L = (xw.shape[-3] - 1) // 3
+    if sm is None:
+        fused = _try_pallas_isdwt2(xw, w)
+        if fused is not None:
+            return fused
     x = xw[..., 0, :, :]
     sd = None if sm is None else main2depthshift(sm, L)
     for d in range(L - 1, -1, -1):
