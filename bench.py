@@ -109,17 +109,19 @@ def main():
     # t_hi - t_lo gap below the ~1 ms tunnel timer noise floor can produce
     # arbitrary outliers (a 97 Gsps artifact was once committed as the
     # headline).  Escalate k_hi until the gap clears a few ms.
+    # NB: (t_hi, k_hi) must stay a consistent pair — escalate at the TOP of
+    # each retry so the returned slope never divides a measured gap by a
+    # k_hi it never ran at (round-3 advisor finding).
     MIN_GAP_S = 3e-3
-    for attempt in range(4):
+    for attempt in range(5):
+        if attempt:
+            log(f"slope gap below {MIN_GAP_S*1e3:.0f} ms noise floor; "
+                f"doubling k_hi -> {k_hi * 2} (attempt {attempt})")
+            k_hi *= 2
+            timed(k_hi, reps=1)  # warm the new dispatch path
         t_lo, t_hi = timed(k_lo), timed(k_hi)
-        gap = t_hi - t_lo
-        if gap >= MIN_GAP_S:
+        if t_hi - t_lo >= MIN_GAP_S:
             break
-        log(f"slope gap {gap*1e3:.2f} ms < {MIN_GAP_S*1e3:.0f} ms noise "
-            f"floor; doubling k_hi {k_hi} -> {k_hi * 2} (attempt "
-            f"{attempt + 1})")
-        k_hi *= 2
-        timed(k_hi, reps=1)  # warm the new dispatch path
     dt = (t_hi - t_lo) / (k_hi - k_lo)  # secs per wpt application
     msps = B * n / dt / 1e6
     log(f"t_lo={t_lo:.4f}s t_hi={t_hi:.4f}s -> {msps:.0f} Msps")

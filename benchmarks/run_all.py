@@ -62,12 +62,17 @@ def slope_time(fn, x, klo, khi, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
     t(klo)
-    for _ in range(5):
+    # NB: (t_hi, khi) must stay a consistent pair — doubling khi after the
+    # last measurement would divide t_hi's gap by a khi it never ran at,
+    # overstating throughput ~2x (round-3 advisor finding).  Escalation
+    # happens at the TOP of each retry, before the measurement it affects.
+    for attempt in range(6):
+        if attempt:
+            khi *= 2
+            t(khi)  # warm the new dispatch path
         t_lo, t_hi = t(klo), t(khi)
         if t_hi - t_lo >= MIN_GAP_S:
             break
-        khi *= 2
-        t(khi)  # warm the new dispatch path
     return max((t_hi - t_lo) / (khi - klo), 1e-9)
 
 

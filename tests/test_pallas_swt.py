@@ -110,3 +110,27 @@ def test_isdwt2_pallas_roundtrip_and_threshold_fusion():
     xs_u = xs.at[..., 0, :, :].set(xw[..., 0, :, :])
     want_u = np.asarray(wx.isdwt2(xs_u.astype(jnp.float64), "db4"))
     np.testing.assert_allclose(got_u, want_u, atol=1e-4)
+
+
+def test_scalar_threshold_broadcasts_over_batch():
+    """has_t=True with a python-scalar t (the documented default t=0.0)
+    must broadcast over B>1 instead of crashing at the (B, 1) reshape
+    (round-3 advisor finding, 1-D and 2-D inverses)."""
+    from waveletsext_tpu.kernels.pallas_swt2 import (sdwt2_pallas,
+                                                     isdwt2_pallas)
+    x = _x(4, 256)
+    xw = wx.sdwt(x, "db4", 3)
+    got = np.asarray(isdwt_pallas(xw, "db4", 0.5, has_t=True,
+                                  interpret=True))
+    xs = dn.threshold(xw, dn.HardTH(), 0.5)
+    want = np.asarray(wx.isdwt(xs.astype(jnp.float64), "db4"))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    rng = np.random.default_rng(16)
+    x2 = jnp.asarray(rng.standard_normal((2, 16, 128)).astype(np.float32))
+    xw2 = sdwt2_pallas(x2, "db4", 2, interpret=True)
+    got2 = np.asarray(isdwt2_pallas(xw2, "db4", 0.5, has_t=True,
+                                    interpret=True))
+    xs2 = jnp.where(jnp.abs(xw2) > 0.5, xw2, 0.0)
+    want2 = np.asarray(wx.isdwt2(xs2.astype(jnp.float64), "db4"))
+    np.testing.assert_allclose(got2, want2, atol=1e-4)

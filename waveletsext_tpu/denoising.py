@@ -138,17 +138,24 @@ def surethreshold(coef, redundant: bool = False, tree=None,
     (Denoising.jl:146-166).  Batched over leading axes.
 
     ``subsample=1`` (default) is the exact formulation.  ``subsample=s > 1``
-    minimizes the SURE risk estimated from every s-th coefficient (rank and
-    energy prefix-sums scaled by s) — the threshold is still a real
-    coefficient magnitude, and the risk of the chosen threshold is within
-    O(1/sqrt(m/s)) of the exact minimum (the risk curve is an empirical
-    average, so subsampling adds estimator noise of the same order as the
-    SURE estimate itself).  The point: XLA's TPU sort is the entire cost of
-    this selector at framework batch sizes (sorting (256, 2304) = 0.27 ms,
-    sorting the s=8 subsample = 0.02 ms), and a histogram-bisection rewrite
-    measured *slower* (compare-reduce tensors materialize; see
-    BENCHMARKS.md).  Subsampling uses the trailing-reshape select, never a
-    strided slice.
+    minimizes the SURE risk estimated from a uniform subsample of the
+    coefficients — the threshold is still a real coefficient magnitude, and
+    the risk of the chosen threshold is within O(1/sqrt(m_eff)) of the exact
+    minimum (the risk curve is an empirical average, so subsampling adds
+    estimator noise of the same order as the SURE estimate itself).
+
+    **Fast-sort floor**: once you opt into ``s > 1``, the effective stride is
+    ``max(s, ceil(n/256))`` so the sorted subsample stays on XLA's TPU
+    row-sort fast path (rows of <= 256 lanes sort ~3x faster than any longer
+    row; see BENCHMARKS.md).  The sampled count is therefore
+    ``m_eff = min(n // s, 256)`` — for large ``n`` the estimate uses 256
+    coefficients regardless of ``s``.  Pass ``subsample=1`` for the exact
+    all-coefficient formulation.  The point of the mode: XLA's TPU sort is
+    the entire cost of this selector at framework batch sizes (sorting
+    (256, 2304) = 0.27 ms, sorting the s=8 subsample = 0.02 ms), and a
+    histogram-bisection rewrite measured *slower* (compare-reduce tensors
+    materialize; see BENCHMARKS.md).  Subsampling uses the trailing-reshape
+    select, never a strided slice.
     """
     y = _relevant_coefs(coef, redundant, tree)
     n = y.shape[-1]
@@ -521,7 +528,13 @@ def bestbasis_denoise_pipeline2(x, wt, L=None, method=None,
     (the wpd2 stack is never materialized; see basis._stream_costs) -> MAD
     sigma from a recomputed level-1 HH quadrant -> VisuShrink
     t = sigma*sqrt(2 ln(n m)) -> threshold -> dynamic quadtree inverse,
-    one XLA program."""
+    one XLA program.
+
+    ``mad_subsample`` (default 16) estimates sigma from a uniform subsample
+    of the HH quadrant instead of all n*m/4 coefficients — the round-3
+    default changed from exact MAD (1) to 16 because the selector sort
+    dominated the pipeline; pass ``mad_subsample=1`` to restore the exact
+    estimator (outputs differ slightly between the two)."""
     from .basis import (_pipeline_costs,
                         bestbasis_treeselection_dev, JBB, BB)
     from .transforms.dwt import _wpt_level_fwd2, _default_levels, _wt

@@ -201,8 +201,9 @@ def _inv_call(kernel, xw, t, interpret):
     B, P, n = xw.shape
     tb = _pick_tb(B, 128)
     assert tb is not None, B
-    t_rep = jnp.broadcast_to(
-        jnp.reshape(jnp.asarray(t, jnp.float32), (B, 1)), (B, 128))
+    # scalar t (the documented default) broadcasts to a per-signal column
+    t_col = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (B,))
+    t_rep = jnp.broadcast_to(jnp.reshape(t_col, (B, 1)), (B, 128))
     return pl.pallas_call(
         kernel,
         grid=(B // tb,),
