@@ -159,7 +159,7 @@ def _iwpt_pallas_jit(y, wt, L: int, block_b: int, precision,
                      in_cutoff: int | None, interpret: bool):
     w = _wavelet(wt) if isinstance(wt, str) else wt
     B, n = y.shape
-    cutoff = (min(512, _ops.MATMUL_CUTOFF) if in_cutoff is None
+    cutoff = (_default_in_cutoff(precision) if in_cutoff is None
               else in_cutoff)
     shallow = 0
     while shallow < L and (n >> shallow) > cutoff:
@@ -193,6 +193,25 @@ def _iwpt_pallas_jit(y, wt, L: int, block_b: int, precision,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 2 ** 20),
         interpret=interpret,
     )(y, St)
+
+
+def _default_in_cutoff(precision) -> int:
+    """Precision-keyed in-kernel matmul cutoff (round-4 probe,
+    benchmarks/probe_wpt1.py, guarded slope method, B=1024 n=4096 L=8):
+
+      * DEFAULT (1-pass bf16 MXU): throughput rises monotonically with the
+        composed-operator size — cut512 29-34, cut1024 35-42 Gsps (cut2048
+        is flat-to-equal and OOMs scoped VMEM at HIGHEST, so 1024 is the
+        ceiling used).
+      * HIGHEST (6-pass f32): large operators drown in MXU passes — cut1024
+        measured 12.5 Gsps vs 21-32 at 256/512; 256 vs 512 is inside the
+        shared-chip variance band, keep 512 (rounds 2-3 value).
+
+    The round-3 precision_ladder.json 68.5 Gsps DEFAULT row was a pre-guard
+    slope artifact; the guarded ceiling is ~38-42 Gsps (BENCHMARKS.md r4)."""
+    if precision == jax.lax.Precision.DEFAULT:
+        return min(1024, _ops.MATMUL_CUTOFF)
+    return min(512, _ops.MATMUL_CUTOFF)
 
 
 def _make_kernel(n: int, L: int, shallow: int, lo, hi, precision):
@@ -250,10 +269,10 @@ def _wpt_pallas_jit(x, wt, L: int, block_b: int, precision,
     B, n = x.shape
     # The in-kernel cutoff differs from the XLA path's MATMUL_CUTOFF: shallow
     # window levels are cheap on the VPU here, so trading MXU flops
-    # (2*n*m0/signal in the composed dot) for two more window levels wins —
-    # measured 11.5 -> 13.4 Gsps at 512 on v5e (128/64 regress: slice
-    # unrolling dominates).
-    cutoff = (min(512, _ops.MATMUL_CUTOFF) if in_cutoff is None
+    # (2*n*m0/signal in the composed dot) for more window levels wins at
+    # HIGHEST, while DEFAULT's 1-pass MXU prefers a bigger operator — the
+    # cutoff is precision-keyed (see _default_in_cutoff).
+    cutoff = (_default_in_cutoff(precision) if in_cutoff is None
               else in_cutoff)
     shallow = 0
     while shallow < L and (n >> shallow) > cutoff:

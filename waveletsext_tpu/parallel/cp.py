@@ -76,12 +76,17 @@ def _cp_level(cur, d: int, n: int, S: int, lo, hi, axis: str):
 
     g = m // n_loc
     assert n_loc >= F, "shard smaller than filter support"
-    # (a) halo exchange with periodic wrap inside the node group
-    right = jax.lax.ppermute(cur[..., : F - 2], axis,
-                             _group_ring_perm(S, g, -1))
-    left = jax.lax.ppermute(cur[..., -(F - 2):], axis,
-                            _group_ring_perm(S, g, +1))
-    ext = jnp.concatenate([left, cur, right], axis=-1)
+    # (a) halo exchange with periodic wrap inside the node group (NB: guard
+    # the F=2 case — cur[..., -0:] would be the whole chunk, not an empty
+    # halo)
+    if F > 2:
+        right = jax.lax.ppermute(cur[..., : F - 2], axis,
+                                 _group_ring_perm(S, g, -1))
+        left = jax.lax.ppermute(cur[..., -(F - 2):], axis,
+                                _group_ring_perm(S, g, +1))
+        ext = jnp.concatenate([left, cur, right], axis=-1)
+    else:
+        ext = cur
     # (b) local decimated outputs: w1[i] over window [2i, 2i+F), w2[i] over
     # [2i+2-F, 2i+2); in ext coordinates everything shifts by F-2
     w1 = conv.periodic_filter(ext, lo, stride=1, dilation=1, offset=F - 2)
@@ -448,3 +453,293 @@ def wpt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp"):
 
     fn = shard_map(inner, mesh=mesh, in_specs=(in_spec,), out_specs=in_spec)
     return fn(x)
+
+
+# ---------------------------------------------------------------------------
+# Sequence-parallel inverses.  The reference pairs every analysis with a
+# synthesis (idwt_step! dwt_one_level.jl:192-223, average-based isdwt_step!
+# swt_one_level.jl:257-277); these are their CP-ring mirrors, so a denoise
+# workload on a position-sharded long signal round-trips entirely through
+# explicit collectives (forward -> local threshold -> inverse).
+# ---------------------------------------------------------------------------
+
+def _valid_correlate(ext, taps, start: int, out_len: int):
+    """out[j] = sum_t taps[t] * ext[..., j + start + t] — plain windowed
+    correlate on a halo-extended buffer (no wrap; the halos cover the
+    support)."""
+    acc = None
+    for t in range(len(taps)):
+        sl = jax.lax.slice_in_dim(ext, start + t, start + t + out_len,
+                                  axis=-1)
+        term = float(taps[t]) * sl
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _icp_level(nxt, d: int, n: int, S: int, lo, hi, axis: str):
+    """Inverse of :func:`_cp_level`: packed depth-(d+1) local chunks ->
+    depth-d local chunks (same shape).
+
+    For node-spanning levels (m = n >> d >= 2 * n_loc) the forward's packed
+    compaction is reversed with the transposed partial ``ppermute``s (each
+    device recovers its n_loc/2 w1 and w2 samples in node order), then the
+    polyphase synthesis v[2q+e] = sum_t lo_e~[t] w1[q-(F/2-1)+t]
+    + sum_t hi_e~[t] w2[q+t] (conv._synthesis_conv) runs locally after a
+    single group-ring halo exchange of F/2-1 samples per side."""
+    n_loc = nxt.shape[-1]
+    m = n >> d
+    F = len(lo)
+    if m <= n_loc:
+        nodes_here = n_loc // m
+        nodes = nxt.reshape(*nxt.shape[:-1], nodes_here, m)
+        v = conv.synthesis_step_packed(nodes, lo, hi)
+        return v.reshape(*nxt.shape[:-1], n_loc)
+    g = m // n_loc
+    assert F % 2 == 0, "decimated CP needs even-length filters"
+    half = n_loc // 2
+    p1e, p1o, p2e, p2o = _compaction_perms(S, g)
+    rev = lambda pairs: [(dst, src) for (src, dst) in pairs]
+    lo_half, hi_half = nxt[..., :half], nxt[..., half:]
+    w1 = (jax.lax.ppermute(lo_half, axis, rev(p1e))
+          + jax.lax.ppermute(hi_half, axis, rev(p1o)))
+    w2 = (jax.lax.ppermute(lo_half, axis, rev(p2e))
+          + jax.lax.ppermute(hi_half, axis, rev(p2o)))
+    Fe = F // 2
+    h = Fe - 1
+    z = jnp.stack([w1, w2])
+    if h:
+        left = jax.lax.ppermute(z[..., n_loc // 2 - h:], axis,
+                                _group_ring_perm(S, g, +1))
+        right = jax.lax.ppermute(z[..., :h], axis,
+                                 _group_ring_perm(S, g, -1))
+        z = jnp.concatenate([left, z, right], axis=-1)
+    e1, e2 = z[0], z[1]
+    outs = []
+    for e in (0, 1):
+        lo_e = np.asarray(lo[e::2])[::-1]
+        hi_e = np.asarray(hi[e::2])[::-1]
+        # ext index of w[q] is q + h; the w1 term reads w1[q-(Fe-1)+t]
+        # (ext start 0) and the w2 term reads w2[q+t] (ext start h)
+        ve = _valid_correlate(e1, lo_e, 0, half)
+        ve = ve + _valid_correlate(e2, hi_e, h, half)
+        outs.append(ve)
+    return jnp.stack(outs, axis=-1).reshape(*nxt.shape[:-1], n_loc)
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis"))
+def iwpt_cp(y, wt, L: int, mesh: Mesh, axis: str = "sp"):
+    """Signal-axis-sharded inverse WPT (mirror of :func:`wpt_cp`): the leaf
+    slice ``(..., n)`` position-sharded over ``axis`` reconstructs to the
+    signal, position-sharded the same way."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    n = y.shape[-1]
+    S = mesh.shape[axis]
+    lead = len(y.shape) - 1
+    in_spec = P(*([None] * lead), axis)
+
+    def inner(yl):
+        cur = yl
+        for d in range(L - 1, -1, -1):
+            cur = _icp_level(cur, d, n, S, w.lo, w.hi, axis)
+        return cur
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec)(y)
+
+
+def _atrous_apply_cp(parts, d: int, S: int, taps_offs, groups, axis: str,
+                     force: str | None = None):
+    """Grouped sums of dilated circular correlations on position-sharded
+    chunks: for each group G in ``groups`` returns
+    ``sum_{i in G} corr(parts[i], taps_i, off_i)`` where
+    ``corr(v, f, off)[p] = sum_t f[t] v[(p + D(t+off)) mod n]``, D = 2^d.
+
+    ONE set of collectives serves every part (they are stacked on a new
+    leading axis): ring halo ppermutes while the halo is small, else the
+    position->coset all_to_all (the same strategy switch as the forward
+    :func:`_atrous_level_cp`)."""
+    D = 1 << d
+    n_loc = parts[0].shape[-1]
+    halo_l = D * max(max(-off, 0) for _, off in taps_offs)
+    halo_r = D * max(max(off + len(taps) - 1, 0) for taps, off in taps_offs)
+    can_coset = D % S == 0 and n_loc % D == 0
+    if force == "halo":
+        use_halo = True
+    elif force == "cosets":
+        use_halo = not can_coset
+    else:
+        use_halo = 2 * max(halo_l, halo_r) <= n_loc or not can_coset
+    z = jnp.stack(parts)
+    if use_halo:
+        assert max(halo_l, halo_r) <= n_loc, "halo exceeds shard; use cosets"
+        ring_l = [(j, (j + 1) % S) for j in range(S)]
+        ring_r = [(j, (j - 1) % S) for j in range(S)]
+        segs = []
+        if halo_l:
+            segs.append(jax.lax.ppermute(z[..., n_loc - halo_l:], axis,
+                                         ring_l))
+        segs.append(z)
+        if halo_r:
+            segs.append(jax.lax.ppermute(z[..., :halo_r], axis, ring_r))
+        ext = jnp.concatenate(segs, axis=-1) if len(segs) > 1 else z
+        filtered = [conv.periodic_filter(ext[i], taps, stride=1, dilation=D,
+                                         offset=halo_l + D * off)[..., :n_loc]
+                    for i, (taps, off) in enumerate(taps_offs)]
+    else:
+        cos = _coset_reshard(z, D, S, axis)
+        fc = [conv._circ_correlate(cos[i], taps, off)
+              for i, (taps, off) in enumerate(taps_offs)]
+        filtered = list(_coset_unshard(jnp.stack(fc), D, S, axis))
+    return [sum(filtered[i] for i in G) for G in groups]
+
+
+def _avg_inv_taps(w):
+    """Adjoint-form average inverse taps/offsets: isdwt_step_average(w1, w2,
+    d) == corr(w1, lo~/2, 2-F) + corr(w2, hi~/2, 0) with dilation 2^d (the
+    two decimated shift-branch syntheses are the even/odd row halves of the
+    adjoint — see kernels/pallas_swt.py, verified vs conv.isdwt_step_average
+    in tests)."""
+    F = len(w.lo)
+    lo_r = 0.5 * np.asarray(w.lo, np.float64)[::-1]
+    hi_r = 0.5 * np.asarray(w.hi, np.float64)[::-1]
+    return [(lo_r, 2 - F), (hi_r, 0)]
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "mesh", "axis", "force"))
+def isdwt_cp(xw, wt, mesh: Mesh, axis: str = "sp",
+             force: str | None = None):
+    """Position-sharded average-based inverse stationary DWT: the
+    ``(..., L+1, n)`` stack (transforms/swt.py sdwt layout, signal axis
+    sharded over ``axis``) reconstructs to ``(..., n)``, position-sharded.
+
+    Mirrors the reference's average-based ``isdwt`` (SWT.jl:317-334) via the
+    adjoint identity (see :func:`_avg_inv_taps`), so every level is one
+    grouped à-trous CP application — halo ppermutes or the coset
+    all_to_all, exactly like the forward."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    L = xw.shape[-2] - 1
+    _check_cp_depth(xw.shape[-1], L, S)
+    taps_offs = _avg_inv_taps(w)
+    lead = len(xw.shape) - 2
+    in_spec = P(*([None] * lead), None, axis)
+    out_spec = P(*([None] * lead), axis)
+
+    def inner(yl):
+        cur = yl[..., 0, :]
+        for d in range(L - 1, -1, -1):
+            w2 = yl[..., L - d, :]
+            (cur,) = _atrous_apply_cp([cur, w2], d, S, taps_offs, [(0, 1)],
+                                      axis, force)
+        return cur
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(xw)
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "mesh", "axis", "force"))
+def isdwt2_cp(xw, wt, mesh: Mesh, axis: str = "sp",
+              force: str | None = None):
+    """Column-sharded average-based inverse 2-D stationary DWT: the
+    ``(..., 3L+1, n, m)`` stack (transforms/swt.py sdwt2 layout, LAST axis
+    sharded) reconstructs to ``(..., n, m)``.
+
+    Separable mirror of :func:`sdwt2_cp`: the sharded last-axis pass merges
+    (LL,LH) and (HL,HH) pairs through ONE grouped à-trous CP application
+    (all four planes share one halo exchange / all_to_all), then the
+    column-direction average inverse runs locally on whole columns."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    P_slots = xw.shape[-3]
+    L = (P_slots - 1) // 3
+    _check_cp_depth(xw.shape[-1], L, S)
+    taps_offs = _avg_inv_taps(w)
+    to4 = taps_offs + taps_offs   # [(lo~,2-F),(hi~,0)] x {t1-pair, t2-pair}
+    lead = len(xw.shape) - 3
+    in_spec = P(*([None] * (lead + 1)), None, axis)
+    out_spec = P(*([None] * (lead + 1)), axis)
+
+    def inner(yl):
+        cur = yl[..., 0, :, :]
+        for d in range(L - 1, -1, -1):
+            base = 3 * (L - d)
+            w2 = yl[..., base - 2, :, :]
+            w3 = yl[..., base - 1, :, :]
+            w4 = yl[..., base, :, :]
+            t1, t2 = _atrous_apply_cp([cur, w2, w3, w4], d, S, to4,
+                                      [(0, 1), (2, 3)], axis, force)
+            cur = conv._on_cols(conv.isdwt_step_average, [t1, t2], d,
+                                w.lo, w.hi)
+        return cur
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(xw)
+
+
+@functools.partial(jax.jit, static_argnames=("wt", "L", "mesh", "axis"))
+def iwpt2_cp(y, wt, L: int, mesh: Mesh, axis: str = "sp"):
+    """Column-sharded 2-D inverse WPT (mirror of :func:`wpt2_cp`): sharded
+    last-axis inverse level first (:func:`_icp_level` with rows folded into
+    the batch), then the local column-direction inverse on whole columns —
+    the reverse of the forward's separable order."""
+    from ..transforms.dwt import _wpt_level_inv
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    _check_cp2_levels(y, L, S)
+    m = y.shape[-1]
+    in_spec, _ = _wpd2_cp_specs(y, axis)
+
+    def inner(yl):
+        cur = yl
+        for d in range(L - 1, -1, -1):
+            cur = _icp_level(cur, d, m, S, w.lo, w.hi, axis)
+            t = jnp.swapaxes(cur, -1, -2)
+            t = _wpt_level_inv(t, d, w.lo, w.hi)
+            cur = jnp.swapaxes(t, -1, -2)
+        return cur
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=in_spec)(y)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "L", "mesh", "axis", "soft",
+                                    "undersmooth", "force"))
+def swt_denoise_cp(x, wt, L: int, t, mesh: Mesh, axis: str = "sp",
+                   soft: bool = False, undersmooth: bool = False,
+                   force: str | None = None):
+    """Fused position-sharded stationary denoise round trip: sdwt ->
+    hard/soft threshold (local, ``t`` scalar or per-signal ``(..., 1)``)
+    -> average-based inverse, ONE shard_map program over the explicit CP
+    ring (the sharded analog of denoising.swt_denoise pipelines; reference
+    flow Denoising.jl:544-565).  ``undersmooth`` spares the coarsest
+    approx slot."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    _check_cp_depth(x.shape[-1], L, S)
+    taps_offs = _avg_inv_taps(w)
+    lead = len(x.shape) - 1
+    in_spec = P(*([None] * lead), axis)
+    t = jnp.asarray(t, x.dtype)
+    t_spec = P(*([None] * t.ndim))  # thresholds replicate
+
+    def thresh(p, tv):
+        if soft:
+            return jnp.sign(p) * jnp.maximum(jnp.abs(p) - tv, 0.0)
+        return jnp.where(jnp.abs(p) > tv, p, 0.0)
+
+    def inner(xl, tv):
+        cur = xl
+        details = []
+        for d in range(L):
+            cur, w2 = _atrous_level_cp(cur, d, S, w.lo, w.hi, axis, force)
+            details.append(thresh(w2, tv))
+        if not undersmooth:
+            cur = thresh(cur, tv)
+        for d in range(L - 1, -1, -1):
+            (cur,) = _atrous_apply_cp([cur, details[d]], d, S, taps_offs,
+                                      [(0, 1)], axis, force)
+        return cur
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec, t_spec),
+                     out_specs=in_spec)(x, t)
