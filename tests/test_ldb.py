@@ -115,6 +115,12 @@ def test_fused_fit_transform_matches_estimator():
          wx.RobustFishersClassSeparability()),
         (wx.TimeFrequency(), wx.HellingerDistance(),
          wx.BasisDiscriminantMeasure()),
+        # Signatures/EMD now trace through the pipeline too (round 4:
+        # gather-free device _emd_pair)
+        (wx.Signatures("equal"), wx.EarthMoverDistance(),
+         wx.BasisDiscriminantMeasure()),
+        (wx.Signatures("pdf"), wx.EarthMoverDistance(),
+         wx.FishersClassSeparability()),
     ]
     for en, dm, dp in combos:
         ref = wx.LocalDiscriminantBasis(wt="db2", max_dec_level=4, dm=dm,

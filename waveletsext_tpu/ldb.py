@@ -256,24 +256,21 @@ def _pairwise_elementwise(p, q, dm):
 
 def _emd_pair(p, wp, q, wq):
     """Earth mover's distance between two weighted 1-D signatures
-    (ldb_measures.jl:327-360)."""
-    po = jnp.argsort(p)
-    qo = jnp.argsort(q)
-    ps = p[po]
-    qs = q[qo]
-    wps = wp[po]
-    wqs = wq[qo]
-    r = jnp.sort(jnp.concatenate([ps, qs]))
-    cwp = jnp.cumsum(wps)
-    cwq = jnp.cumsum(wqs)
+    (ldb_measures.jl:327-360).
 
-    def cum_at(sorted_vals, cums, t):
-        i = jnp.searchsorted(sorted_vals, t, side="right")
-        return jnp.where(i > 0, cums[jnp.maximum(i - 1, 0)], 0.0)
-    swp = jax.vmap(lambda t: cum_at(ps, cwp, t))(r[:-1])
-    swq = jax.vmap(lambda t: cum_at(qs, cwq, t))(r[:-1])
-    emd = jnp.sum(jnp.abs(swp - swq) * (r[1:] - r[:-1]))
-    return emd / (jnp.sum(wps) + jnp.sum(wqs))
+    Scatter/gather-free device formulation (round 4): on the line,
+    EMD = integral of |CDF_p - CDF_q|, so ONE key-value sort of the merged
+    supports carrying signed weights [wp, -wq] gives the CDF difference as
+    a cumsum — no argsort gathers, no per-threshold searchsorted (the old
+    vmap'd searchsorted was the known-pathological gather class on TPU).
+    Ties contribute zero-width intervals, so any order within them is
+    exact."""
+    z = jnp.concatenate([p, q])
+    u = jnp.concatenate([wp, -wq])
+    zs, us = jax.lax.sort([z, u], num_keys=1)
+    cdf_diff = jnp.cumsum(us)[:-1]
+    emd = jnp.sum(jnp.abs(cdf_diff) * (zs[1:] - zs[:-1]))
+    return emd / (jnp.sum(wp) + jnp.sum(wq))
 
 
 def pairwise_discriminant_measure(g1, g2, dm):
@@ -553,8 +550,10 @@ def _ldb_pipeline(X, wt, L, en, dm, dp, top_k, n_features, idxs, is2d):
     feature ordering, traced once (the estimator path runs ~10 separate
     dispatches; over the remote tunnel that is latency-dominated).
 
-    ``idxs``: static tuple of per-class index tuples.  Signatures/EMD energy
-    maps return python Signature objects and stay on the estimator path.
+    ``idxs``: static tuple of per-class index tuples.  Signatures/EMD maps
+    trace through too (round 4): the Signature containers are static pytrees
+    of traced arrays, and the device EMD is one key-value sort + cumsum per
+    coordinate (see :func:`_emd_pair`).
     """
     from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
     from .basis import bestbasis_treeselection_dev
@@ -588,8 +587,6 @@ def ldb_fit_transform_pipeline(f, X, y):
     unset — use the estimator path if you need them) and returns features."""
     X = jnp.asarray(X)
     sz = X.shape[1:]
-    if isinstance(f.en, Signatures):
-        return f.fit_transform(X, y)  # Signature objects are host-side
     if f.max_dec_level is None:
         f.max_dec_level = maxtransformlevels(min(sz))
     nelem = int(np.prod(sz))

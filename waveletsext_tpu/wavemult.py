@@ -161,26 +161,118 @@ def mat2sparseform_std(M, wt, L: int | None = None, eps: float = 1e-4):
 
 
 # ---------------------------------------------------------------------------
+# Dense-masked forms (TPU fast path)
+#
+# BCOO SpMV lowers to gather/scatter on TPU — the exact op class measured
+# pathological here (CLAUDE.md round-2) — while a zeros-kept dense form of
+# the SAME thresholded operator rides the MXU.  The reference's headline for
+# this module is *speed* (O(n) sparse vs O(n^2) dense, wavemult.jl:6-11);
+# on TPU the O(n^2)-flop masked matmul beats the O(nnz)-gather SpMV at
+# every measured size (benchmarks/probe_wavemult.py, BENCHMARKS.md r4), so
+# ``form='auto'`` picks dense on TPU and sparse elsewhere.
+# ---------------------------------------------------------------------------
+
+def mat2denseform_nonstd(M, wt, L: int | None = None, eps: float = 1e-4):
+    """Zeros-kept dense (2n, 2n) nonstandard form: same thresholding and
+    stretch re-indexing as :func:`mat2sparseform_nonstd`, materialized dense
+    for the MXU product path."""
+    M = jnp.asarray(M)
+    n = M.shape[0]
+    assert M.shape == (n, n)
+    L = maxtransformlevels(n) if L is None else L
+    Mw = np.asarray(dwt2(M, wt, L))
+    maxcolnorm = np.linalg.norm(Mw, axis=0).max()
+    keep = np.abs(Mw) > eps * maxcolnorm
+    i, j = np.nonzero(keep)
+    vals = Mw[i, j]
+    ie, je = stretchmatrix(i, j, n, L)
+    D = np.zeros((2 * n, 2 * n), dtype=Mw.dtype)
+    D[ie, je] = vals
+    return jnp.asarray(D)
+
+
+def mat2denseform_std(M, wt, L: int | None = None, eps: float = 1e-4):
+    """Zeros-kept dense standard form (the thresholded ``sft`` matrix)."""
+    M = jnp.asarray(M)
+    n = M.shape[0]
+    assert M.shape == (n, n)
+    Mw = np.asarray(sft(M, wt, L))
+    maxcolnorm = np.linalg.norm(Mw, axis=0).max()
+    return jnp.asarray(np.where(np.abs(Mw) > eps * maxcolnorm, Mw, 0.0))
+
+
+def _tpu_backend() -> bool:
+    from .transforms.dwt import _tpu_backend as _tb
+    return _tb()
+
+
+def _apply_form(op, nx, is_sparse: bool):
+    """Batched operator application: ``ny[..., i] = sum_j op[i,j] nx[..., j]``
+    for any leading batch shape (the reference's product is single-vector,
+    wavemult.jl:74; batching amortizes the operator build across RHS)."""
+    lead = nx.shape[:-1]
+    v = nx.reshape(-1, nx.shape[-1]).T          # (2n|n, B)
+    if is_sparse:
+        ny = op @ v
+    else:
+        ny = jnp.matmul(jnp.asarray(op, v.dtype), v,
+                        precision=conv.MATMUL_PRECISION)
+    return ny.T.reshape(*lead, op.shape[0])
+
+
+def _resolve_op(M, n: int, wt, L, eps, form, builder_sparse, builder_dense,
+                op_rows: int):
+    """Accepts a prebuilt BCOO, a prebuilt dense *form* (``form='prebuilt'``,
+    or auto-detected for the nonstandard case where the form is (2n, 2n)),
+    or a raw (n, n) matrix to build per ``form`` in
+    {'auto', 'sparse', 'dense'}."""
+    if isinstance(M, jsparse.BCOO):
+        return M, True
+    M = jnp.asarray(M)
+    if form == "prebuilt" or (M.shape[0] == op_rows and op_rows != n):
+        assert M.shape[0] == op_rows, (M.shape, op_rows)
+        return M, False
+    if form == "auto":
+        form = "dense" if _tpu_backend() else "sparse"
+    if form == "sparse":
+        return builder_sparse(M, wt, L, eps), True
+    return builder_dense(M, wt, L, eps), False
+
+
+# ---------------------------------------------------------------------------
 # Fast products
 # ---------------------------------------------------------------------------
 
-def nonstd_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4):
-    """y ~= M @ x via the sparse nonstandard form (wavemult.jl:58-76).
-    ``M`` may be a dense matrix or a prebuilt BCOO from
-    :func:`mat2sparseform_nonstd`."""
-    L = maxtransformlevels(x.shape[-1]) if L is None else L
-    if not isinstance(M, jsparse.BCOO):
-        M = mat2sparseform_nonstd(M, wt, L, eps)
+def nonstd_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4,
+                    form: str = "auto"):
+    """y ~= M @ x via the nonstandard form (wavemult.jl:58-76), batched over
+    any leading axes of ``x``.
+
+    ``M`` may be a raw (n, n) matrix (the operator form is built here per
+    ``form``: 'sparse' BCOO, 'dense' zeros-kept, or 'auto' = dense on TPU /
+    sparse elsewhere — see the dense-form rationale above), a prebuilt BCOO
+    from :func:`mat2sparseform_nonstd`, or a prebuilt (2n, 2n) dense form
+    from :func:`mat2denseform_nonstd` (pass ``form='prebuilt'``)."""
+    n = x.shape[-1]
+    L = maxtransformlevels(n) if L is None else L
+    op, is_sparse = _resolve_op(M, n, wt, L, eps, form,
+                                mat2sparseform_nonstd, mat2denseform_nonstd,
+                                2 * n)
     nx = ns_dwt(x, wt, L)
-    ny = M @ nx
+    ny = _apply_form(op, nx, is_sparse)
     return ns_idwt(ny, wt, L)
 
 
-def std_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4):
-    """y ~= M @ x via the sparse standard form (wavemult.jl:134-152)."""
-    L = maxtransformlevels(x.shape[-1]) if L is None else L
-    if not isinstance(M, jsparse.BCOO):
-        M = mat2sparseform_std(M, wt, L, eps)
+def std_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4,
+                 form: str = "auto"):
+    """y ~= M @ x via the standard form (wavemult.jl:134-152), batched over
+    any leading axes of ``x``.  ``M`` as in :func:`nonstd_wavemult` (the
+    standard form is (n, n); pass ``form='prebuilt'`` for a prebuilt dense
+    form from :func:`mat2denseform_std`)."""
+    n = x.shape[-1]
+    L = maxtransformlevels(n) if L is None else L
+    op, is_sparse = _resolve_op(M, n, wt, L, eps, form,
+                                mat2sparseform_std, mat2denseform_std, n)
     nx = dwt(x, wt, L)
-    ny = M @ nx
+    ny = _apply_form(op, nx, is_sparse)
     return idwt(ny, wt, L)
