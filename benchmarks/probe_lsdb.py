@@ -96,19 +96,23 @@ def main():
             lambda a: wx.bestbasis_pipeline(a, "db4", L,
                                             method=wx.LSDB())[1], x),
             samples)
-        row(f"{tag}_lsdb_costs_stream", slope_secs(
+        def carry(fn):
+            # cost-only stages are not shape-preserving; carry the input
+            # with an epsilon data dependency so the chain still serializes
+            return lambda a: a + jnp.sum(fn(a)) * 1e-30
+        row(f"{tag}_lsdb_costs_stream", slope_secs(carry(
             lambda a: basis_mod._stream_costs(a, "db4", L, wx.LSDB(),
-                                              False), x), samples)
-        row(f"{tag}_lsdb_costs_stacked", slope_secs(
-            lambda a: stacked_lsdb_costs(a, "db4", L), x), samples)
-        row(f"{tag}_jbb_costs_stream", slope_secs(
+                                              False)), x), samples)
+        row(f"{tag}_lsdb_costs_stacked", slope_secs(carry(
+            lambda a: stacked_lsdb_costs(a, "db4", L)), x), samples)
+        row(f"{tag}_jbb_costs_stream", slope_secs(carry(
             lambda a: basis_mod._stream_costs(a, "db4", L, wx.JBB(),
-                                              False), x), samples)
+                                              False)), x), samples)
         # raw ASH on the stack coordinate set (no transform, no selection)
         coords = jnp.asarray(
             rng.standard_normal(((L + 1) * n, B)).astype(np.float32))
-        row(f"{tag}_ash_raw", slope_secs(
-            lambda c: jax.vmap(basis_mod._ash_differential_entropy)(c),
+        row(f"{tag}_ash_raw", slope_secs(carry(
+            lambda c: jax.vmap(basis_mod._ash_differential_entropy)(c)),
             coords), samples)
 
     # numerical agreement of the stacked formulation

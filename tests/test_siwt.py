@@ -244,3 +244,38 @@ def test_packed_shift_counts_scale_with_budget():
     full, _, _, _ = siwt_dense.packed_shifts(5, 5)
     # full budget: packed == all valid == 2^d
     assert [len(s) for s in full] == [1 << d for d in range(6)]
+
+
+def test_siwt_pipeline_precision_retrace():
+    """Regression (round 4): siwt_bestbasis_pipeline went through plain
+    jax.jit, so set_matmul_precision was a silent no-op for SIWT — assert
+    the precision embedded in the traced program follows the global, and
+    that an explicit step_cutoff changes the conv/matmul dispatch."""
+    import re
+    import waveletsext_tpu as wx
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, 256)).astype(np.float32))
+
+    def traced_precisions():
+        import jax
+        s = str(jax.make_jaxpr(
+            lambda a: siwt_dense.siwt_bestbasis_pipeline(a, "db4", 4, 2)[0]
+        )(x))
+        return set(re.findall(r"precision=\(Precision\.(\w+)", s))
+
+    try:
+        wx.set_matmul_precision("highest")
+        assert traced_precisions() == {"HIGHEST"}
+        wx.set_matmul_precision("default")
+        assert traced_precisions() == {"DEFAULT"}
+    finally:
+        wx.set_matmul_precision("highest")
+
+    # step_cutoff routes big nodes off the matmul path but must not change
+    # results
+    a, ca = siwt_dense.siwt_bestbasis_pipeline(x, "db4", 4, 2)
+    b, cb = siwt_dense.siwt_bestbasis_pipeline(x, "db4", 4, 2,
+                                               step_cutoff=32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=1e-4)

@@ -92,8 +92,14 @@ def apijit(*static_names):
                     b.arguments[name] = StaticTree(v)
             return jf(**b.arguments)
 
+        def clear_cache():
+            for jf in jits.values():
+                jf.clear_cache()
+            jits.clear()
+
         wrapper.__wrapped_impl__ = fn
         wrapper.__jits__ = jits
+        wrapper.clear_cache = clear_cache
         return wrapper
 
     return deco

@@ -163,7 +163,7 @@ def _even(x):
 # Decimated (DWT/WPT) steps — dwt_one_level.jl conventions
 # ---------------------------------------------------------------------------
 
-def analysis_step(v, lo: np.ndarray, hi: np.ndarray):
+def analysis_step(v, lo: np.ndarray, hi: np.ndarray, cutoff: int | None = None):
     """One decimated analysis step on the last axis (batched elsewhere).
 
     Equals the reference ``dwt_step!`` (dwt_one_level.jl:79-107) with
@@ -172,21 +172,25 @@ def analysis_step(v, lo: np.ndarray, hi: np.ndarray):
     conv) lives in :func:`analysis_step_packed` — the single source of the
     cutoff rule."""
     m = v.shape[-1]
-    out = analysis_step_packed(v, lo, hi)
+    out = analysis_step_packed(v, lo, hi, cutoff)
     return out[..., : m // 2], out[..., m // 2:]
 
 
-def analysis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray):
+def analysis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray,
+                         cutoff: int | None = None):
     """Packed one-level analysis: node blocks ``(..., m)`` -> ``[w1 | w2]``
     concatenated on the last axis ``(..., m)``.
 
     This is THE place encoding the small-node cutoff rule (the per-node
-    (m, m) MXU operator matmul at or below ``operators.MATMUL_CUTOFF``, the
-    conv lowering above it) — the wpt/wpd level sweeps call this directly so
-    the packed layout skips a split/concat round-trip, and
-    :func:`analysis_step` slices it for the (w1, w2) interface."""
+    (m, m) MXU operator matmul at or below the cutoff — default
+    ``operators.MATMUL_CUTOFF`` — the conv lowering above it); the wpt/wpd
+    level sweeps call this directly so the packed layout skips a
+    split/concat round-trip, and :func:`analysis_step` slices it for the
+    (w1, w2) interface.  ``cutoff`` overrides the global for callers whose
+    flop balance differs (e.g. the SIWT engine at scale, where the 6-pass
+    HIGHEST matmul on big nodes dominates — see transforms/siwt_dense.py)."""
     m = nodes.shape[-1]
-    if m <= _ops.MATMUL_CUTOFF:
+    if m <= (_ops.MATMUL_CUTOFF if cutoff is None else cutoff):
         A = jnp.asarray(_ops.analysis_operator(_ops.taps_key(lo, hi), m),
                         nodes.dtype)
         return jnp.matmul(nodes, A, precision=MATMUL_PRECISION)
@@ -209,11 +213,13 @@ def analysis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray):
     return jnp.concatenate([w1, w2], axis=-1)
 
 
-def synthesis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray):
+def synthesis_step_packed(nodes, lo: np.ndarray, hi: np.ndarray,
+                          cutoff: int | None = None):
     """Inverse of :func:`analysis_step_packed`: ``[w1 | w2]`` -> parent.
-    Single source of the synthesis cutoff dispatch."""
+    Single source of the synthesis cutoff dispatch (``cutoff`` as in
+    :func:`analysis_step_packed`)."""
     m = nodes.shape[-1]
-    if m <= _ops.MATMUL_CUTOFF:
+    if m <= (_ops.MATMUL_CUTOFF if cutoff is None else cutoff):
         S = jnp.asarray(_ops.synthesis_operator(_ops.taps_key(lo, hi), m),
                         nodes.dtype)
         return jnp.matmul(nodes, S, precision=MATMUL_PRECISION)
@@ -242,13 +248,14 @@ def _synthesis_conv(w1, w2, lo: np.ndarray, hi: np.ndarray):
     return jnp.stack(outs, axis=-1).reshape(*w1.shape[:-1], 2 * half)
 
 
-def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray):
+def synthesis_step(w1, w2, lo: np.ndarray, hi: np.ndarray,
+                   cutoff: int | None = None):
     """Inverse of :func:`analysis_step` (dwt_one_level.jl:192-223).  Dispatch
     lives in :func:`synthesis_step_packed`."""
     half = w1.shape[-1]
-    if 2 * half <= _ops.MATMUL_CUTOFF:
+    if 2 * half <= (_ops.MATMUL_CUTOFF if cutoff is None else cutoff):
         return synthesis_step_packed(jnp.concatenate([w1, w2], axis=-1),
-                                     lo, hi)
+                                     lo, hi, cutoff)
     return _synthesis_conv(w1, w2, lo, hi)
 
 

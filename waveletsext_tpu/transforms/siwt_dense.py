@@ -39,6 +39,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .._jit import apijit
 from ..filters import Wavelet, wavelet as _wavelet
 from ..trees import maxtransformlevels
 from ..kernels import conv
@@ -89,7 +90,7 @@ def _shannon_costs(v, nrm):
     return -jnp.sum(jnp.where(s == 0, 0.0, s * jnp.log(s)), axis=-1)
 
 
-def _decompose(x, wtname: str, L: int):
+def _decompose(x, wtname: str, L: int, cutoff: int | None = None):
     """Level sweep -> tuple of L+1 per-depth value tensors.
 
     values[d] has shape (batch..., 2^d, 2^d, n/2^d); slot (b, s) holds node
@@ -103,7 +104,7 @@ def _decompose(x, wtname: str, L: int):
         # shift axis doubles: low half = unshifted step, high half = the
         # step on the input circularly pre-shifted by 1
         X = jnp.concatenate([V, jnp.roll(V, 1, axis=-1)], axis=-2)
-        w1, w2 = conv.analysis_step(X, w.lo, w.hi)
+        w1, w2 = conv.analysis_step(X, w.lo, w.hi, cutoff)
         child = jnp.stack([w1, w2], axis=-3)  # (.., Nd, 2, 2Sd, nd/2)
         sh = child.shape
         vals.append(child.reshape(*sh[:-4], sh[-4] * 2, sh[-2], sh[-1]))
@@ -123,7 +124,7 @@ def siwpd_dense(x, wt, L: int | None = None, d: int | None = None):
     return _siwpd_dense_jit(x, _wt(wt).name, L)
 
 
-@functools.partial(jax.jit, static_argnames=("wtname", "L"), inline=True)
+@apijit("wtname", "L")
 def _siwpd_dense_jit(x, wtname: str, L: int):
     vals = _decompose(x, wtname, L)
     nrm = jnp.linalg.norm(x, axis=-1)
@@ -169,12 +170,13 @@ def bestbasis_dense(costs, L: int | None = None, d: int | None = None):
     return _bestbasis_dense_jit(costs, L, d)
 
 
-@functools.partial(jax.jit, static_argnames=("L", "budget"), inline=True)
+@apijit("L", "budget")
 def _bestbasis_dense_jit(costs, L: int, budget: int):
     return _bestbasis_sweep(costs, L, budget)
 
 
-def _reconstruct_sweep(vals, decisions, wtname: str, L: int):
+def _reconstruct_sweep(vals, decisions, wtname: str, L: int,
+                       cutoff: int | None = None):
     """Bottom-up synthesis selecting per node among keep / unshifted /
     shifted children.  R[d] holds the best-basis reconstruction of every
     node's subtree; the root slot is the final signal."""
@@ -185,7 +187,7 @@ def _reconstruct_sweep(vals, decisions, wtname: str, L: int):
         sh = R.shape  # (.., 2Nd, 2Sd, nd/2)
         pair = R.reshape(*sh[:-3], sh[-3] // 2, 2, sh[-2], sh[-1])
         y = conv.synthesis_step(pair[..., 0, :, :], pair[..., 1, :, :],
-                                w.lo, w.hi)        # (.., Nd, 2Sd, nd)
+                                w.lo, w.hi, cutoff)  # (.., Nd, 2Sd, nd)
         y_u = y[..., :Sd, :]
         y_s = jnp.roll(y[..., Sd:, :], -1, axis=-1)  # shifted synthesis
         dec = decisions[d][..., None]
@@ -199,7 +201,7 @@ def isiwpd_dense(vals, decisions, wt):
     return _isiwpd_dense_jit(vals, decisions, _wt(wt).name, L)
 
 
-@functools.partial(jax.jit, static_argnames=("wtname", "L"), inline=True)
+@apijit("wtname", "L")
 def _isiwpd_dense_jit(vals, decisions, wtname: str, L: int):
     return _reconstruct_sweep(vals, decisions, wtname, L)
 
@@ -246,7 +248,8 @@ def packed_shifts(L: int, budget: int):
     return shifts, kid_pos, inv, has_kid
 
 
-def _decompose_packed(x, wtname: str, L: int, budget: int):
+def _decompose_packed(x, wtname: str, L: int, budget: int,
+                      cutoff: int | None = None):
     """Budget-packed level sweep: values[d] is (batch..., 2^d, P_d, n/2^d)
     with P_d = #valid shifts at depth d (packed order of packed_shifts)."""
     w = _wavelet(wtname)
@@ -257,7 +260,7 @@ def _decompose_packed(x, wtname: str, L: int, budget: int):
         kp = np.asarray(kid_pos[d])
         P = V if len(kp) == V.shape[-2] else jnp.take(V, kp, axis=-2)
         X = jnp.concatenate([P, jnp.roll(P, 1, axis=-1)], axis=-2)
-        w1, w2 = conv.analysis_step(X, w.lo, w.hi)
+        w1, w2 = conv.analysis_step(X, w.lo, w.hi, cutoff)
         child = jnp.stack([w1, w2], axis=-3)
         sh = child.shape
         vals.append(child.reshape(*sh[:-4], sh[-4] * 2, sh[-2], sh[-1]))
@@ -294,7 +297,7 @@ def _bestbasis_sweep_packed(costs, L: int, budget: int):
 
 
 def _reconstruct_sweep_packed(vals, decisions, wtname: str, L: int,
-                              budget: int):
+                              budget: int, cutoff: int | None = None):
     w = _wavelet(wtname)
     _, kid_pos, inv, has_kid = packed_shifts(L, budget)
     R = vals[L]
@@ -303,7 +306,7 @@ def _reconstruct_sweep_packed(vals, decisions, wtname: str, L: int,
         sh = R.shape  # (.., 2Nd, 2K, nd/2)
         pair = R.reshape(*sh[:-3], sh[-3] // 2, 2, sh[-2], sh[-1])
         y = conv.synthesis_step(pair[..., 0, :, :], pair[..., 1, :, :],
-                                w.lo, w.hi)          # (.., Nd, 2K, nd)
+                                w.lo, w.hi, cutoff)  # (.., Nd, 2K, nd)
         y_u = y[..., :K, :]
         y_s = jnp.roll(y[..., K:, :], -1, axis=-1)
         iv = np.asarray(inv[d])
@@ -453,24 +456,27 @@ def _threshold_vals(vals, t, soft: bool):
     return tuple(jnp.where(jnp.abs(v) > tb(v), v, 0.0) for v in vals)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("wtname", "L", "budget", "soft"))
-def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
+@apijit("wtname", "L", "budget", "soft", "cutoff")
+def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool,
+                  cutoff: int | None = None):
+    # NB: apijit (not plain jax.jit) so set_matmul_precision re-traces this
+    # pipeline like every other public entry point (the r3 regression
+    # class), and the probed step cutoff participates in the dispatch key.
     n = x.shape[-1]
     d0 = _deep_transition(n, L)
     if d0 is None:
-        vals = _decompose_packed(x, wtname, L, budget)
+        vals = _decompose_packed(x, wtname, L, budget, cutoff)
         nrm = jnp.linalg.norm(x, axis=-1)
         costs = tuple(_shannon_costs(v, nrm) for v in vals)
         decisions, mincost = _bestbasis_sweep_packed(costs, L, budget)
         vals = _threshold_vals(vals, t, soft)
         return (_reconstruct_sweep_packed(vals, decisions, wtname, L,
-                                          budget),
+                                          budget, cutoff),
                 mincost)
 
     # hybrid: shallow packed layout to depth d0, deep layout beyond
     nrm = jnp.linalg.norm(x, axis=-1)
-    shallow = _decompose_packed(x, wtname, d0, budget)  # depths 0..d0
+    shallow = _decompose_packed(x, wtname, d0, budget, cutoff)  # 0..d0
     # NB: packed_shifts(d0, budget) and packed_shifts(L, budget) agree on
     # depths < d0 (the expansion rule only consults budget and the lowest
     # set bit), EXCEPT that min(budget, L - d1) can differ when L - d1 <
@@ -480,7 +486,8 @@ def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
     if tuple(s_L[:d0 + 1]) != tuple(s_d0):
         # rare tail case: rebuild the shallow zone with the L-consistent
         # masks by decomposing at full L metadata
-        shallow = _decompose_packed_prefix(x, wtname, L, budget, d0)
+        shallow = _decompose_packed_prefix(x, wtname, L, budget, d0,
+                                           cutoff)
     W0 = jnp.moveaxis(shallow[d0], -3, -1)  # (..., P, nd0, K0)
     deep = _deep_decompose(W0, wtname, L, d0, budget)
 
@@ -521,7 +528,7 @@ def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
         sh = R.shape
         pair = R.reshape(*sh[:-3], sh[-3] // 2, 2, sh[-2], sh[-1])
         y = conv.synthesis_step(pair[..., 0, :, :], pair[..., 1, :, :],
-                                w.lo, w.hi)
+                                w.lo, w.hi, cutoff)
         y_u = y[..., :K, :]
         y_s = jnp.roll(y[..., K:, :], -1, axis=-1)
         iv = np.asarray(inv[d])
@@ -532,7 +539,8 @@ def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool):
     return R[..., 0, 0, :], mincost
 
 
-def _decompose_packed_prefix(x, wtname: str, L: int, budget: int, d0: int):
+def _decompose_packed_prefix(x, wtname: str, L: int, budget: int, d0: int,
+                             cutoff: int | None = None):
     """First d0+1 depths of the L-deep packed decomposition (used when the
     d0-truncated shift metadata would disagree with the full-L metadata)."""
     w = _wavelet(wtname)
@@ -543,7 +551,7 @@ def _decompose_packed_prefix(x, wtname: str, L: int, budget: int, d0: int):
         kp = np.asarray(kid_pos[d])
         P = V if len(kp) == V.shape[-2] else jnp.take(V, kp, axis=-2)
         X = jnp.concatenate([P, jnp.roll(P, 1, axis=-1)], axis=-2)
-        w1, w2 = conv.analysis_step(X, w.lo, w.hi)
+        w1, w2 = conv.analysis_step(X, w.lo, w.hi, cutoff)
         child = jnp.stack([w1, w2], axis=-3)
         sh = child.shape
         vals.append(child.reshape(*sh[:-4], sh[-4] * 2, sh[-2], sh[-1]))
@@ -551,7 +559,8 @@ def _decompose_packed_prefix(x, wtname: str, L: int, budget: int, d0: int):
 
 
 def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
-                            t=None, soft: bool = False):
+                            t=None, soft: bool = False,
+                            step_cutoff: int | None = None):
     """Fused siwpd -> best basis -> [threshold ->] isiwpd as ONE program.
 
     ``t`` (optional scalar or per-signal array) hard/soft-thresholds every
@@ -563,4 +572,4 @@ def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
     L = maxtransformlevels(n) if L is None else L
     d = L if d is None else d
     t = None if t is None else jnp.asarray(t)
-    return _pipeline_jit(x, t, _wt(wt).name, L, d, soft)
+    return _pipeline_jit(x, t, _wt(wt).name, L, d, soft, step_cutoff)
