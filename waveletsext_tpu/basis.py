@@ -141,7 +141,14 @@ def _ash_differential_entropy(x):
     S = jnp.asarray(_ash_smoothing_matrix(g, mbins), x.dtype)
     smoothed = S @ counts
     density = smoothed / (jnp.sum(smoothed) * delta)
-    logd = jnp.log(jnp.maximum(density, 1e-300))
+    # Floor must be representable in f32: 1e-300 underflows to 0.0 there,
+    # making log(0) = -inf and counts @ logd = 0 * -inf = NaN for any coord
+    # whose grid has a smoothing-radius-wide sample gap (round-4 fix).  Bins
+    # with counts > 0 always have density > tiny (the sample itself
+    # contributes), so flooring only affects the zero-count terms, whose
+    # exact contribution is 0 either way.
+    tiny = np.finfo(np.float32).tiny
+    logd = jnp.log(jnp.maximum(density, tiny))
     return -(counts @ logd) / N
 
 
@@ -663,6 +670,25 @@ def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
     return tree, coefs
 
 
+LSDB_STACK_MAX_BATCH = 1024
+
+
+def _lsdb_stacked_costs_1d(xw):
+    """LSDB node costs from a materialized 1-D wpd stack via ONE vmap over
+    ALL (L+1)*n coordinates (per-coordinate ASH entropy is node- and
+    level-independent; per-node costs are reshape-sums).  On chip this is
+    3.2x the per-level streamed loop at latency-bound batch sizes (B=128:
+    0.018 vs 0.058 ms) but ~1.8x slower at B=16k where the O(N*g) one-hot
+    compute dominates — dispatched by batch size (probe_lsdb.py)."""
+    N, Lp1, n = xw.shape
+    coords = jnp.moveaxis(xw, 0, -1).reshape(-1, N)
+    ents = jax.vmap(_ash_differential_entropy)(coords)
+    lvl = ents.reshape(Lp1, n)
+    return jnp.concatenate(
+        [jnp.sum(lvl[d].reshape(1 << d, n >> d), axis=-1)
+         for d in range(Lp1)])
+
+
 def _pipeline_costs(x, wt, L, method, is2d):
     """(costs, extract_fn): stack-based when the fused Pallas stack kernel
     engages (one VMEM trip emits every level plane), streamed otherwise."""
@@ -670,6 +696,12 @@ def _pipeline_costs(x, wt, L, method, is2d):
     from .transforms import dwt as _dwt_mod
     from .transforms.dwt import _pallas_wpd2_ok, _wt as _dwt_wt
     from .kernels import conv as _conv
+    if (not is2d and isinstance(method, LSDB)
+            and isinstance(method.cost, DifferentialEntropyCost)
+            and x.shape[0] <= LSDB_STACK_MAX_BATCH):
+        xw = _dwt_mod.wpd(x, wt, L)
+        return (_lsdb_stacked_costs_1d(xw),
+                lambda tree: _stack_extract(xw, tree, False))
     # stack path only at HIGHEST: there the per-level 6-pass matmuls are the
     # stream path's bound (0.98-1.22 -> 0.67 ms at c4); at DEFAULT the
     # 1-pass composed matmuls already beat the VPU stack kernel (0.42-0.52
