@@ -572,4 +572,19 @@ def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
     L = maxtransformlevels(n) if L is None else L
     d = L if d is None else d
     t = None if t is None else jnp.asarray(t)
+    if step_cutoff is None:
+        step_cutoff = _default_step_cutoff()
     return _pipeline_jit(x, t, _wt(wt).name, L, d, soft, step_cutoff)
+
+
+def _default_step_cutoff() -> int | None:
+    """Precision-keyed SIWT step cutoff (on-chip sweep, probe_siwt.py, c6b
+    B=256 n=4096 L=12 budget=2): at HIGHEST the mid-depth per-node operator
+    matmuls are 6-pass and the polyphase conv path wins from ~64 up
+    (249 -> 300 Msps); at DEFAULT the 1-pass MXU keeps the global cutoff
+    best (424 vs 384 Msps at 256).  None = fall through to
+    operators.MATMUL_CUTOFF."""
+    import jax as _jax
+    if conv.MATMUL_PRECISION == _jax.lax.Precision.HIGHEST:
+        return 64
+    return None
