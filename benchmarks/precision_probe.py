@@ -59,6 +59,10 @@ def np_wpt(x64, lo, hi, levels):
 
 
 def slope_secs(fn, x, reps=3):
+    """Guarded slope (round-4: the unguarded version produced the 68.5 Gsps
+    pre-guard artifact recorded in the r3 ladder; see BENCHMARKS.md)."""
+    MIN_GAP_S = 3e-3
+
     @jax.jit
     def chain(a, k):
         out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), a)
@@ -74,7 +78,15 @@ def slope_secs(fn, x, reps=3):
             best = min(best, time.perf_counter() - t0)
         return best
     t(KLO)
-    return max((t(KHI) - t(KLO)) / (KHI - KLO), 1e-9)
+    khi = KHI
+    for attempt in range(6):
+        if attempt:
+            khi *= 2
+            t(khi)
+        t_lo, t_hi = t(KLO), t(khi)
+        if t_hi - t_lo >= MIN_GAP_S:
+            break
+    return max((t_hi - t_lo) / (khi - KLO), 1e-9)
 
 
 def main():

@@ -699,9 +699,14 @@ def _pipeline_costs(x, wt, L, method, is2d):
     if (not is2d and isinstance(method, LSDB)
             and isinstance(method.cost, DifferentialEntropyCost)
             and x.shape[0] <= LSDB_STACK_MAX_BATCH):
+        # extraction stays streamed: the same-process A/B measured
+        # stacked-costs+stream-extract 0.044 ms vs stack-extract 0.059 and
+        # the old all-stream path 0.080 (B=128 c2 config; JBB = 0.032) —
+        # the leaf-mask read of the materialized stack loses to re-stepping
+        # at this size
         xw = _dwt_mod.wpd(x, wt, L)
         return (_lsdb_stacked_costs_1d(xw),
-                lambda tree: _stack_extract(xw, tree, False))
+                lambda tree: _stream_extract(x, wt, L, tree, False))
     # stack path only at HIGHEST: there the per-level 6-pass matmuls are the
     # stream path's bound (0.98-1.22 -> 0.67 ms at c4); at DEFAULT the
     # 1-pass composed matmuls already beat the VPU stack kernel (0.42-0.52
