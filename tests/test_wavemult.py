@@ -80,3 +80,35 @@ def test_prebuilt_sparse_matches():
     SM = wm.mat2sparseform_std(M, "haar")
     assert np.allclose(wm.std_wavemult(SM, x, "haar"),
                        wm.std_wavemult(M, x, "haar"))
+
+
+def test_dense_form_matches_sparse_and_batches():
+    """Round 4: the zeros-kept dense operator forms (TPU fast path) must be
+    numerically identical to the BCOO forms, accept batched RHS, and honor
+    prebuilt-form passing."""
+    from waveletsext_tpu import wavemult as wm
+    rng = np.random.default_rng(11)
+    n = 64
+    i = np.arange(n)
+    d = i[:, None] - i[None, :]
+    M = np.where(d == 0, 0.0, 1.0 / np.where(d == 0, 1, d))
+    xb = jnp.asarray(rng.standard_normal((5, n)))
+    true = np.asarray(xb @ jnp.asarray(M).T)
+    for fn in (wm.nonstd_wavemult, wm.std_wavemult):
+        ys = np.asarray(fn(M, xb, "db4", form="sparse", eps=1e-8))
+        yd = np.asarray(fn(M, xb, "db4", form="dense", eps=1e-8))
+        np.testing.assert_allclose(ys, yd, atol=1e-9)
+        np.testing.assert_allclose(yd, true, atol=1e-3)
+    # prebuilt forms (auto-detected 2n x 2n for nonstd; form='prebuilt' for
+    # the square std form)
+    de_ns = wm.mat2denseform_nonstd(M, "db4", eps=1e-8)
+    assert de_ns.shape == (2 * n, 2 * n)
+    y1 = np.asarray(wm.nonstd_wavemult(de_ns, xb, "db4"))
+    np.testing.assert_allclose(y1, true, atol=1e-3)
+    de_st = wm.mat2denseform_std(M, "db4", eps=1e-8)
+    y2 = np.asarray(wm.std_wavemult(de_st, xb, "db4", form="prebuilt"))
+    np.testing.assert_allclose(y2, true, atol=1e-3)
+    # single-vector interface unchanged
+    x1 = jnp.asarray(rng.standard_normal(n))
+    y3 = wm.nonstd_wavemult(M, x1, "db4")
+    assert y3.shape == (n,)
