@@ -38,6 +38,7 @@ from .utils import getbasiscoef_dyn, getbasiscoef2_dyn
 
 from .wavemult import (ns_dwt, ns_idwt, sft, isft, stretchmatrix, ndyad,
                        dyadlength, mat2sparseform_nonstd, mat2sparseform_std,
+                       mat2denseform_nonstd, mat2denseform_std,
                        nonstd_wavemult, std_wavemult)
 from .transforms.siwt import (SiwtNode, SiwtObject, siwpd, isiwpd,
                               bestbasistree as siwt_bestbasistree)
