@@ -48,6 +48,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from waveletsext_tpu.parallel.sharding import (  # noqa: E402
     make_mesh, shard_batch, jbb_pipeline_sharded, denoise_step_sharded)
+from waveletsext_tpu.parallel import cp  # noqa: E402
 
 # v5e per-chip model (How to Scale Your Model / public v5e specs)
 HBM_BPS = 8.19e11           # bytes/s
@@ -97,6 +98,37 @@ def collective_bytes(hlo_text: str, n_dev: int) -> dict:
 def analyze(n_dp: int, n_sp: int, per_dev_batch: int, n: int, L: int,
             pipeline: str):
     n_dev = n_dp * n_sp
+    if pipeline == "cp_denoise":
+        # explicit-ring sequence parallelism: weak scaling along the SIGNAL
+        # axis (per-device position chunk of length n held fixed), fused
+        # fwd -> threshold -> adjoint average inverse round trip
+        # (cp.swt_denoise_cp)
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        devs = np.asarray(jax.devices()[:n_dev]).reshape(1, n_dev)
+        mesh = Mesh(devs, ("dp", "sp"))
+        nn = n * n_dev
+        x = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((per_dev_batch, nn))
+                        .astype(np.float32))
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "sp")))
+        lowered = cp.swt_denoise_cp.lower(xs, "db4", L, 0.5, mesh)
+        comp = lowered.compile()
+        ca = comp.cost_analysis()
+        flops = float(ca.get("flops", 0.0))
+        hbm = float(ca.get("bytes accessed", 0.0))
+        colls = collective_bytes(comp.as_text(), n_dev)
+        t_comp = max(flops / F32_FLOPS, hbm / HBM_BPS)
+        t_coll = sum(colls.values()) / ICI_BPS
+        r = cp.swt_denoise_cp(xs, "db4", L, 0.5, mesh)
+        jax.block_until_ready(r)
+        return {
+            "mesh": f"sp{n_dev}", "devices": n_dev,
+            "B": per_dev_batch, "n": nn,
+            "per_device_flops": flops, "per_device_hbm_bytes": hbm,
+            "collective_bytes": colls,
+            "t_compute_us": t_comp * 1e6, "t_collective_us": t_coll * 1e6,
+            "efficiency": t_comp / (t_comp + t_coll) if t_comp else 0.0,
+        }
     mesh = make_mesh(n_dp, n_sp)
     B = per_dev_batch * n_dp
     x = jnp.asarray(np.random.default_rng(0)
@@ -133,9 +165,13 @@ def analyze(n_dp: int, n_sp: int, per_dev_batch: int, n: int, L: int,
 def main():
     per_dev_batch, n, L = 256, 4096, 8
     rows = []
-    for pipeline in ("jbb", "denoise"):
-        for n_dp, n_sp in ((1, 1), (2, 1), (4, 1), (8, 1), (4, 2)):
-            r = analyze(n_dp, n_sp, per_dev_batch, n, L, pipeline)
+    for pipeline in ("jbb", "denoise", "cp_denoise"):
+        meshes = ((1, 1), (2, 1), (4, 1), (8, 1), (4, 2))
+        if pipeline == "cp_denoise":
+            meshes = ((2, 1), (4, 1), (8, 1))  # ring sizes; B=8 per device
+        for n_dp, n_sp in meshes:
+            pdb = 8 if pipeline == "cp_denoise" else per_dev_batch
+            r = analyze(n_dp, n_sp, pdb, n, L, pipeline)
             r["pipeline"] = pipeline
             rows.append(r)
             coll = ", ".join(f"{k}={v/1e6:.2f}MB"
