@@ -361,3 +361,21 @@ def test_cp_swt_denoise_roundtrip_matches_single():
             sh = sh.at[..., 0, :].set(xw[..., 0, :])
         want = wx.isdwt(sh, "db4")
         assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10)
+
+
+@pytest.mark.parametrize("force", [None, "cosets"])
+def test_cp_iswpd_matches_single(force):
+    """Tree-driven CP inverse SWPD == single-device iswpd on a non-trivial
+    best-basis tree (one grouped collective set per depth)."""
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    n, L = 256, 4
+    x = jnp.asarray(RNG.standard_normal((3, n)))
+    xw1 = wx.swpd(x, "db4", L)
+    tree = np.asarray(wx.bestbasistree(xw1, wx.JBB(redundant=True)))
+    assert wx.isvalidtree(tree, "binary") and tree.any()
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    xw = cp.swpd_cp(xs, "db4", L, mesh, force=force)
+    got = cp.iswpd_cp(xw, "db4", tree, mesh, force=force)
+    want = wx.iswpd(xw1, "db4", tree)
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10), force

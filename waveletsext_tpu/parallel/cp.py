@@ -702,6 +702,56 @@ def iwpt2_cp(y, wt, L: int, mesh: Mesh, axis: str = "sp"):
                      out_specs=in_spec)(y)
 
 
+def iswpd_cp(xw, wt, tree, mesh: Mesh, axis: str = "sp",
+             force: str | None = None):
+    """Position-sharded tree-driven average-based inverse SWPD: the
+    all-node table ``(..., 2^(L+1)-1, n)`` (transforms/swt.py swpd layout,
+    signal axis sharded over ``axis``) reconstructs by the host ``tree``
+    (1-based node semantics; mirrors transforms.swt.iswpd's
+    level-synchronous merge -> select, SWT.jl:1138-1164).
+
+    Every depth merges ALL node pairs through ONE grouped à-trous CP
+    application (a single halo exchange / all_to_all for the whole level),
+    then selects merged-vs-table per node with the static tree mask."""
+    from .._jit import StaticTree
+    tree = tree if isinstance(tree, StaticTree) else StaticTree(tree)
+    return _iswpd_cp_jit(xw, wt, tree, mesh, axis, force)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("wt", "tree", "mesh", "axis", "force"))
+def _iswpd_cp_jit(xw, wt, tree, mesh: Mesh, axis: str, force):
+    from ..trees import getdepth
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    tr = np.asarray(tree, bool)
+    Lmax = int(np.log2(xw.shape[-2] + 1)) - 1
+    _check_cp_depth(xw.shape[-1], Lmax, S)
+    depth = min(getdepth(tr.shape[-1], "binary") + 1, Lmax)
+    taps_offs = _avg_inv_taps(w)
+    lead = len(xw.shape) - 2
+    in_spec = P(*([None] * lead), None, axis)
+    out_spec = P(*([None] * lead), axis)
+
+    def inner(yl):
+        def block(d):  # depth-d level block (..., 2^d, n_loc)
+            return yl[..., (1 << d) - 1: (1 << (d + 1)) - 1, :]
+        cur = block(depth)
+        for d in range(depth - 1, -1, -1):
+            parts = [cur[..., j, :] for j in range(1 << (d + 1))]
+            to = taps_offs * (1 << d)
+            groups = [(2 * j, 2 * j + 1) for j in range(1 << d)]
+            merged = jnp.stack(
+                _atrous_apply_cp(parts, d, S, to, groups, axis, force),
+                axis=-2)
+            marks = jnp.asarray(tr[(1 << d) - 1: (1 << (d + 1)) - 1])
+            cur = jnp.where(marks[..., None], merged, block(d))
+        return cur[..., 0, :]
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(xw)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("wt", "L", "mesh", "axis", "soft",
                                     "undersmooth", "force"))
