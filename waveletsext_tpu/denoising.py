@@ -244,15 +244,22 @@ def _mad_sigma(dr):
     return mad / 0.6745
 
 
-@apijit("redundant", "tree")
-def noisest(x, redundant: bool = False, tree=None):
+@apijit("redundant", "tree", "subsample")
+def noisest(x, redundant: bool = False, tree=None, subsample: int = 1):
     """MAD-based noise sigma from the finest detail coefficients
     (Denoising.jl:214-232).  Batched over leading axes.
 
     One sort instead of two medians: ``median(|dr - med|)`` is recovered
     from the sorted plane via :func:`_kth_smallest_vshaped` (the distances
     to the median of a sorted sequence are V-shaped) — jnp.median lowers to
-    a sort each, and sorts are the cost of this selector on TPU."""
+    a sort each, and sorts are the cost of this selector on TPU.
+
+    ``subsample=s > 1`` estimates the MAD from a uniform mid-phase
+    subsample of the detail row (sigma is a threshold *scale*; the
+    O(1/sqrt(m/s)) estimator noise is immaterial next to it, and TPU sort
+    time scales ~linearly with row length below 256 lanes — (4096, 256) =
+    177 us vs (4096, 64) = 26 us).  Default 1 = the exact reference
+    estimator."""
     n = x.shape[-1]
     if not redundant and tree is None:
         dr = x[..., n // 2:]
@@ -263,7 +270,7 @@ def noisest(x, redundant: bool = False, tree=None):
     else:
         _, node = finestdetailrange(n, np.asarray(tree, bool), True)
         dr = x[..., node - 1, :]
-    return _mad_sigma(dr)
+    return _mad_sigma(_mad_subsample(dr, subsample))
 
 
 def _findelbow(x, y, valid_n):
