@@ -472,9 +472,10 @@ def denoiseall(x, inputtype: str, wt, **kwargs):
 import functools as _functools
 
 
-@apijit("wt", "L", "method", "soft", "smooth")
+@apijit("wt", "L", "method", "soft", "smooth", "mad_subsample")
 def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
-                               smooth: str = "regular"):
+                               smooth: str = "regular",
+                               mad_subsample: int = 1):
     """VisuShrink denoising in the best basis, fully fused.
 
     Streamed costs -> device CW selection (JBB shared tree, or per-signal
@@ -487,6 +488,10 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     spares the coarsest scaling band, Denoising.jl:561-565) -> dynamic-tree
     inverse.  Returns the denoised batch; per-signal trees reconstruct in
     the same program.
+
+    ``mad_subsample`` (default 1 = exact MAD, matching previous behavior)
+    estimates sigma from every s-th detail coefficient, as in the 2-D twin
+    — the selector sort scales ~linearly with row length on TPU.
     """
     from .basis import (_stream_costs, _stream_extract,
                         bestbasis_treeselection_dev, JBB, BB)
@@ -503,7 +508,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     # recomputed from one level step (cheap next to the stack it replaces)
     w = _wt(wt)
     dr = _wpt_level_fwd(x, 0, w.lo, w.hi)[..., n // 2:]
-    sigma = _mad_sigma(dr)[..., None]
+    sigma = _mad_sigma(_mad_subsample(dr, mad_subsample))[..., None]
     t = sigma * np.sqrt(2.0 * np.log(n))
     if soft:
         shrunk = jnp.sign(coefs) * jnp.maximum(jnp.abs(coefs) - t, 0.0)
