@@ -299,3 +299,17 @@ def test_fused_denoise_batch_shapes():
     assert np.allclose(np.asarray(got2).reshape(4, 32, 32), np.asarray(flat2))
     single2 = wx.bestbasis_denoise_pipeline2(img[0, 0], "haar", 3)
     assert single2.shape == (32, 32)
+
+
+def test_noisest_subsample():
+    """noisest(subsample=s) estimates sigma from a uniform subsample: close
+    to the exact estimate on Gaussian noise, default exactly unchanged."""
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((16, 1024)))
+    exact = np.asarray(dn.noisest(x).t if hasattr(dn.noisest(x), "t")
+                       else dn.noisest(x))
+    sub = np.asarray(dn.noisest(x, subsample=4))
+    assert sub.shape == exact.shape
+    np.testing.assert_allclose(sub, exact, rtol=0.35)  # O(1/sqrt(m/s))
+    np.testing.assert_array_equal(np.asarray(dn.noisest(x, subsample=1)),
+                                  exact)
