@@ -256,7 +256,10 @@ def main():
     # (3L+1) x n x m per image
     B4c = 2 if QUICK else 4
     x4c = x4[:B4c]
-    c4c = lambda a: wx.swt_denoise_pipeline2(a, "db4", L4)
+    # mad_subsample=64: MAD from 1,024 of the 65,536 HH coefficients (~3%
+    # estimator noise) — the (B, 4096) selector sort at the default 16 was
+    # ~28% of the program (on-chip sweep: 1,915 -> 2,668 Msps; 256 flat)
+    c4c = lambda a: wx.swt_denoise_pipeline2(a, "db4", L4, mad_subsample=64)
     record("c4c_swt2_denoise_fused", slope_time(c4c, x4c, 2, 16),
            B4c * n4 * n4, {"B": B4c, "L": L4})
 
