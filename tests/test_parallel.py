@@ -379,3 +379,19 @@ def test_cp_iswpd_matches_single(force):
     got = cp.iswpd_cp(xw, "db4", tree, mesh, force=force)
     want = wx.iswpd(xw1, "db4", tree)
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10), force
+
+
+@pytest.mark.parametrize("force", [None, "cosets"])
+def test_cp_acdwt2_matches_single(force):
+    """Column-sharded 2-D ACWT == single-device acdwt2; the filterless
+    inverse reconstructs locally from the sharded stack."""
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    x = jnp.asarray(RNG.standard_normal((2, 64, 256)))
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, P(None, None, "sp")))
+    got = cp.acdwt2_cp(xs, "db4", 4, mesh, force=force)
+    ref = wx.acdwt2(x, "db4", 4)
+    assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10), force
+    rec = wx.iacdwt2(got)
+    assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-10)

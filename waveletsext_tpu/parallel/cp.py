@@ -361,6 +361,51 @@ def acdwt_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
                      out_specs=out_spec)(x)
 
 
+def acdwt2_cp(x, wt, L: int, mesh: Mesh, axis: str = "sp",
+              force: str | None = None):
+    """Column-sharded 2-D autocorrelation DWT -> (..., 3L+1, n, m) stack
+    (transforms/acwt.py acdwt2 layout), LAST axis sharded over ``axis``.
+
+    Separable mirror of :func:`sdwt2_cp` with the symmetric ac filters and
+    their half-filter phase offsets; the inverse is the filterless pairwise
+    average (iacdwt2) and runs locally on the sharded stack with no
+    communication."""
+    w = _wavelet(wt) if isinstance(wt, str) else wt
+    S = mesh.shape[axis]
+    from ..trees import maxtransformlevels
+    Lmax = maxtransformlevels(min(x.shape[-2:]))
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L must be in 1..{Lmax} for {x.shape[-2:]} images,"
+                         f" got {L}")
+    _check_cp_depth(x.shape[-1], L, S)
+    ac_lo, ac_hi = w.ac_lo, w.ac_hi
+    off = -(len(ac_lo) // 2)
+    lead = len(x.shape) - 2
+    in_spec = P(*([None] * (lead + 1)), axis)
+    out_spec = P(*([None] * (lead + 1)), None, axis)
+
+    def level2(cur, d):
+        t1, t2 = (jnp.swapaxes(r, -1, -2) for r in conv.acdwt_step(
+            jnp.swapaxes(cur, -1, -2), d, ac_lo, ac_hi))
+        tlo, thi = _atrous_level_cp(jnp.stack([t1, t2]), d, S, ac_lo, ac_hi,
+                                    axis, force, off1=off, off2=off)
+        return tlo[0], thi[0], tlo[1], thi[1]
+
+    def inner(xl):
+        cur = xl
+        slots = {}
+        for d in range(L):
+            w1, w2, w3, w4 = level2(cur, d)
+            base = 3 * (L - d)
+            slots[base - 2], slots[base - 1], slots[base] = w2, w3, w4
+            cur = w1
+        slots[0] = cur
+        return jnp.stack([slots[j] for j in range(3 * L + 1)], axis=-3)
+
+    return shard_map(inner, mesh=mesh, in_specs=(in_spec,),
+                     out_specs=out_spec)(x)
+
+
 def _wpt2_cp_level(cur, d: int, m: int, S: int, lo, hi, axis: str):
     """One column-sharded 2-D decimated packet level (..., n, m_loc).
 
