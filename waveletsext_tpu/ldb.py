@@ -295,6 +295,25 @@ def discriminant_measure(gamma, dm):
     """Sum of pairwise measures over class pairs -> (L+1, ...)
     (ldb_measures.jl:139-201)."""
     if isinstance(gamma, (list, tuple)):  # signatures
+        # Equal-weight fast path (Signatures("equal") with equal class
+        # counts): W1 between two equal-count uniform-weight empirical
+        # distributions is the mean |difference of order statistics|, so
+        # each class sorts ONCE (reused across all pairs) instead of a
+        # merged 2N sort per pair — exact, incl. ties (verified against
+        # _emd_pair to 1e-16; the normalization 1/(2 Nc) is weight-free
+        # because both signatures carry the same scalar weight).
+        ws = [g.weight for g in gamma]
+        counts = {g.coef.shape[0] for g in gamma}
+        if (isinstance(dm, EarthMoverDistance)
+                and all(np.isscalar(w) for w in ws)
+                and len({float(w) for w in ws}) == 1 and len(counts) == 1):
+            Nc = counts.pop()
+            sorted_coefs = [jnp.sort(g.coef, axis=0) for g in gamma]
+            D = None
+            for s1, s2 in itertools.combinations(sorted_coefs, 2):
+                d = jnp.sum(jnp.abs(s1 - s2), axis=0) / (2 * Nc)
+                D = d if D is None else D + d
+            return D
         D = None
         for g1, g2 in itertools.combinations(gamma, 2):
             d = pairwise_discriminant_measure(g1, g2, dm)
