@@ -159,8 +159,8 @@ def _iwpt_pallas_jit(y, wt, L: int, block_b: int, precision,
                      in_cutoff: int | None, interpret: bool):
     w = _wavelet(wt) if isinstance(wt, str) else wt
     B, n = y.shape
-    cutoff = (_default_in_cutoff(precision) if in_cutoff is None
-              else in_cutoff)
+    cutoff = (_default_in_cutoff(precision, inverse=True)
+              if in_cutoff is None else in_cutoff)
     shallow = 0
     while shallow < L and (n >> shallow) > cutoff:
         shallow += 1
@@ -195,22 +195,24 @@ def _iwpt_pallas_jit(y, wt, L: int, block_b: int, precision,
     )(y, St)
 
 
-def _default_in_cutoff(precision) -> int:
-    """Precision-keyed in-kernel matmul cutoff (round-4 probe,
-    benchmarks/probe_wpt1.py, guarded slope method, B=1024 n=4096 L=8):
+def _default_in_cutoff(precision, inverse: bool = False) -> int:
+    """Precision-keyed in-kernel matmul cutoff (round-4 probes,
+    benchmarks/probe_wpt1.py + interleaved A/Bs, guarded slope method,
+    B=1024 n=4096 L=8):
 
-      * DEFAULT (1-pass bf16 MXU): throughput rises monotonically with the
-        composed-operator size — cut512 29-34, cut1024 35-42 Gsps (cut2048
-        is flat-to-equal and OOMs scoped VMEM at HIGHEST, so 1024 is the
-        ceiling used).
+      * DEFAULT (1-pass bf16 MXU): throughput rises with the
+        composed-operator size — forward cut512 29-34, cut1024 35-42 Gsps
+        (2048 flat: interleaved medians 36.9 vs 36.3); the INVERSE keeps
+        rising to 2048 (interleaved medians 27.4 / 38.0 / 42.4 at
+        512/1024/2048, tight bands) — so fwd=1024, inv=2048.
       * HIGHEST (6-pass f32): large operators drown in MXU passes — cut1024
-        measured 12.5 Gsps vs 21-32 at 256/512; 256 vs 512 is inside the
-        shared-chip variance band, keep 512 (rounds 2-3 value).
+        measured 12.5 Gsps vs 21-32 at 256/512; 128..512 are inside the
+        variance band under interleaving, keep 512 (rounds 2-3 value).
 
     The round-3 precision_ladder.json 68.5 Gsps DEFAULT row was a pre-guard
     slope artifact; the guarded ceiling is ~38-42 Gsps (BENCHMARKS.md r4)."""
     if precision == jax.lax.Precision.DEFAULT:
-        return min(1024, _ops.MATMUL_CUTOFF)
+        return 2048 if inverse else min(1024, _ops.MATMUL_CUTOFF)
     return min(512, _ops.MATMUL_CUTOFF)
 
 
