@@ -274,6 +274,8 @@ def main():
         wx.set_matmul_precision("default")
         record("wpt_forward_relaxed", slope_time(fw, x, 8, 128), B * n,
                {"B": B, "n": n, "precision": "default"})
+        record("c1_dwt_roundtrip_relaxed", slope_time(rt, x, 4, 32), B * n,
+               {"B": B, "n": n, "precision": "default"})
         record("c4_wpt2d_512_relaxed", slope_time(fw2, x4, 2, 16),
                B4 * n4 * n4, {"B": B4, "precision": "default"})
         record("c4_jbb_2d_fused_relaxed", slope_time(c4_fused, x4, 2, 16),
