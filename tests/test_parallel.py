@@ -395,3 +395,19 @@ def test_cp_acdwt2_matches_single(force):
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-10), force
     rec = wx.iacdwt2(got)
     assert np.allclose(np.asarray(rec), np.asarray(x), atol=1e-10)
+
+
+def test_cp_swt_denoise_per_signal_thresholds():
+    """swt_denoise_cp accepts per-signal (..., 1) threshold arrays (they
+    replicate across the ring; the threshold applies locally)."""
+    devs = np.asarray(jax.devices()[:4]).reshape(1, 4)
+    mesh = Mesh(devs, ("dp", "sp"))
+    n, L = 512, 3
+    x = jnp.asarray(RNG.standard_normal((3, n)))
+    t = jnp.asarray(RNG.uniform(0.3, 0.9, (3, 1)))
+    xs = jax.device_put(x, jax.sharding.NamedSharding(mesh, P(None, "sp")))
+    got = cp.swt_denoise_cp(xs, "db4", L, t, mesh)
+    xw = wx.sdwt(x, "db4", L)
+    sh = jnp.where(jnp.abs(xw) > t[..., None], xw, 0.0)
+    want = wx.isdwt(sh, "db4")
+    assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-10)
