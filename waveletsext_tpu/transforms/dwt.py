@@ -116,7 +116,14 @@ def _pallas_wpd2_ok(x, w, L: int) -> bool:
 
 def _try_pallas_wpd2(x, w, L: int):
     """Dispatch wpd2 to the all-levels Pallas stack kernel (one VMEM trip
-    emits every level plane) when supported."""
+    emits every level plane) when supported AND profitable: the kernel is
+    all-VPU, so it only beats the streamed XLA levels at HIGHEST, where the
+    per-level matmuls are 6-pass (r3: 0.67 vs 0.98-1.22 ms at HIGHEST but
+    0.72 vs 0.42-0.52 at DEFAULT — same precision rule as the fused
+    pipelines' _pipeline_costs)."""
+    import jax as _jax
+    if conv.MATMUL_PRECISION != _jax.lax.Precision.HIGHEST:
+        return None
     if not _pallas_wpd2_ok(x, w, L):
         return None
     from ..kernels.pallas_wpt2 import wpd2_pallas
