@@ -97,7 +97,8 @@ def main():
             lambda v: wm.nonstd_wavemult(sp_ns, v, "db4"), x), n,
             {"nnz": nnz, "fill": nnz / (4 * n * n)})
         row("nonstd_dense", slope_secs(
-            lambda v: wm.nonstd_wavemult(de_ns, v, "db4"), x), n,
+            lambda v: wm.nonstd_wavemult(de_ns, v, "db4",
+                                         form="prebuilt"), x), n,
             {"nnz": nnz})
 
         sp_st = wm.mat2sparseform_std(M, "db4")

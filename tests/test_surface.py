@@ -76,3 +76,31 @@ def test_compat_step_kernels_match_pinned_convention():
     s1, s2 = compat.sdwt_step(v, 0, h, g)
     v0 = compat.isdwt_step(s1, s2, 0, h, g)
     assert np.allclose(np.asarray(v0), v, atol=1e-12)
+
+
+def test_public_argument_validation_raises_eagerly():
+    """User-facing argument errors are ValueError/TypeError raised eagerly
+    (the reference's ArgumentError discipline, SWT.jl:619-621) — NOT bare
+    asserts that vanish under ``python -O``."""
+    import pytest
+    import jax.numpy as jnp
+    from waveletsext_tpu import denoising, ldb, basis, utils, wavemult as wm
+
+    x = jnp.zeros((2, 16))
+    with pytest.raises(ValueError):
+        denoising.denoise(x, "sig", "db4", smooth="bogus")
+    with pytest.raises(ValueError):
+        denoising.denoise(x, "nope", "db4")
+    with pytest.raises(ValueError):
+        utils.main2depthshift(8, 3)
+    with pytest.raises(TypeError):
+        basis.bestbasistreeall(x, method=object())
+    with pytest.raises(ValueError):
+        wm.ndyad(0, 4, False)
+    with pytest.raises(ValueError):
+        wm.mat2sparseform_nonstd(jnp.zeros((4, 8)), "haar")
+    est = ldb.LocalDiscriminantBasis(wt="haar", max_dec_level=2)
+    with pytest.raises(ValueError):  # unfitted
+        est.transform(x)
+    with pytest.raises(ValueError):  # single class
+        est.fit(jnp.zeros((4, 16)), np.zeros(4, int))

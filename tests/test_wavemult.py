@@ -99,11 +99,13 @@ def test_dense_form_matches_sparse_and_batches():
         yd = np.asarray(fn(M, xb, "db4", form="dense", eps=1e-8))
         np.testing.assert_allclose(ys, yd, atol=1e-9)
         np.testing.assert_allclose(yd, true, atol=1e-3)
-    # prebuilt forms (auto-detected 2n x 2n for nonstd; form='prebuilt' for
-    # the square std form)
+    # prebuilt forms always require an explicit form='prebuilt' (raw-matrix
+    # shape coincidences are rejected, never auto-detected)
     de_ns = wm.mat2denseform_nonstd(M, "db4", eps=1e-8)
     assert de_ns.shape == (2 * n, 2 * n)
-    y1 = np.asarray(wm.nonstd_wavemult(de_ns, xb, "db4"))
+    y1 = np.asarray(wm.nonstd_wavemult(de_ns, xb, "db4", form="prebuilt"))
+    with pytest.raises(ValueError):
+        wm.nonstd_wavemult(de_ns, xb, "db4")  # (2n, 2n) without 'prebuilt'
     np.testing.assert_allclose(y1, true, atol=1e-3)
     de_st = wm.mat2denseform_std(M, "db4", eps=1e-8)
     y2 = np.asarray(wm.std_wavemult(de_st, xb, "db4", form="prebuilt"))

@@ -407,7 +407,8 @@ def bestbasistreeall(X, method=None, is2d: bool = False) -> np.ndarray:
     """Per-signal BB trees for a batch -> (N, nt) bool
     (BestBasis.jl:253-262)."""
     method = BB() if method is None else method
-    assert isinstance(method, BB)
+    if not isinstance(method, BB):
+        raise TypeError(f"method must be a BB instance, got {type(method)}")
     X = jnp.asarray(X)
     costs = np.asarray(jax.vmap(
         lambda s: tree_costs(s, method, is2d))(X))

@@ -131,9 +131,9 @@ def _relevant_coefs(coef, redundant, tree):
 # Threshold selection
 # ---------------------------------------------------------------------------
 
-@apijit("redundant", "tree", "subsample")
+@apijit("redundant", "tree", "subsample", "fast_sort")
 def surethreshold(coef, redundant: bool = False, tree=None,
-                  subsample: int = 1):
+                  subsample: int = 1, fast_sort: bool = True):
     """SURE risk minimization over sorted squared coefficients
     (Denoising.jl:146-166).  Batched over leading axes.
 
@@ -144,13 +144,15 @@ def surethreshold(coef, redundant: bool = False, tree=None,
     minimum (the risk curve is an empirical average, so subsampling adds
     estimator noise of the same order as the SURE estimate itself).
 
-    **Fast-sort floor**: once you opt into ``s > 1``, the effective stride is
-    ``max(s, ceil(n/256))`` so the sorted subsample stays on XLA's TPU
-    row-sort fast path (rows of <= 256 lanes sort ~3x faster than any longer
-    row; see BENCHMARKS.md).  The sampled count is therefore
-    ``m_eff = min(n // s, 256)`` — for large ``n`` the estimate uses 256
-    coefficients regardless of ``s``.  Pass ``subsample=1`` for the exact
-    all-coefficient formulation.  The point of the mode: XLA's TPU sort is
+    **Fast-sort floor** (``fast_sort=True``, the default): once you opt into
+    ``s > 1``, the effective stride is ``max(s, ceil(n/256))`` so the sorted
+    subsample stays on XLA's TPU row-sort fast path (rows of <= 256 lanes
+    sort ~3x faster than any longer row; see BENCHMARKS.md).  The sampled
+    count is therefore ``m_eff = min(n // s, 256)`` — for large ``n`` the
+    estimate uses 256 coefficients regardless of ``s``.  Pass
+    ``fast_sort=False`` to keep a mild user-chosen stride exactly (the
+    estimate then uses all ``n // s`` coefficients at the slower sort), or
+    ``subsample=1`` for the exact all-coefficient formulation.  The point of the mode: XLA's TPU sort is
     the entire cost of this selector at framework batch sizes (sorting
     (256, 2304) = 0.27 ms, sorting the s=8 subsample = 0.02 ms), and a
     histogram-bisection rewrite measured *slower* (compare-reduce tensors
@@ -168,7 +170,8 @@ def surethreshold(coef, redundant: bool = False, tree=None,
         # at B=4096: sort of (B, 256) = 0.15 ms vs 0.39-0.45 ms for any
         # length in 288..512) — once the user opts into the subsampled
         # estimate, raise the stride so the sorted subsample stays on it.
-        stride = max(subsample, -(-n // _SORT_FAST_LEN))
+        stride = (max(subsample, -(-n // _SORT_FAST_LEN)) if fast_sort
+                  else subsample)
         m = (n // stride) * stride
         # middle phase of each stride-s block: a systematic phase-0 sample
         # can alias with structured layouts (per-level positions in a
@@ -386,8 +389,12 @@ def denoise(x, inputtype: str, wt, L: int | None = None, tree=None,
     ``bestTH`` in {None, 'mean', 'median'} aggregates per-signal thresholds
     across the batch (Denoising.jl:684-703).
     """
-    assert smooth in ("regular", "undersmooth")
-    assert inputtype in _INPUTTYPES, inputtype
+    if smooth not in ("regular", "undersmooth"):
+        raise ValueError(f"smooth must be 'regular' or 'undersmooth', "
+                         f"got {smooth!r}")
+    if inputtype not in _INPUTTYPES:
+        raise ValueError(f"inputtype {inputtype!r} not in "
+                         f"{sorted(_INPUTTYPES)}")
     if inputtype == "sig":
         n = x.shape[-1]
         L = maxtransformlevels(n) if L is None else L
@@ -602,7 +609,9 @@ def swt_denoise_pipeline2(x, wt, L: int | None = None, soft: bool = False,
     ``mad_subsample``: the sigma estimate reads every s-th HH coefficient
     (pass 1 for the exact full-plane MAD — sorting the full n*m row is the
     single most expensive op of this pipeline on TPU)."""
-    assert smooth in ("regular", "undersmooth")
+    if smooth not in ("regular", "undersmooth"):
+        raise ValueError(f"smooth must be 'regular' or 'undersmooth', "
+                         f"got {smooth!r}")
     from .trees import maxtransformlevels as _mtl
     n, m = x.shape[-2:]
     L = _mtl(min(n, m)) if L is None else L

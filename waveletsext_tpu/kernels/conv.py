@@ -13,8 +13,10 @@ gathers, no dynamic shapes — plus the analysis/synthesis step pairs built on
 it.  Filters arrive as host numpy arrays and are folded into the program as
 constants.
 
-A Pallas fast path for the hot batched cases lives in ``pallas_ops.py``; the
-implementations here are the reference-accurate (float64-capable) ground truth.
+Pallas fast paths for the hot batched cases live in ``pallas_wpt.py`` /
+``pallas_wpt2.py`` (fused decimated stacks) and ``pallas_swt.py`` /
+``pallas_swt2.py`` (redundant stacks); the implementations here are the
+reference-accurate (float64-capable) ground truth.
 """
 
 from __future__ import annotations

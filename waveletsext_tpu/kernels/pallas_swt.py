@@ -201,8 +201,11 @@ def _inv_call(kernel, xw, t, interpret):
     B, P, n = xw.shape
     tb = _pick_tb(B, 128)
     assert tb is not None, B
-    # scalar t (the documented default) broadcasts to a per-signal column
-    t_col = jnp.broadcast_to(jnp.asarray(t, jnp.float32), (B,))
+    # scalar t (the documented default) broadcasts to a per-signal column;
+    # per-signal arrays may arrive as (B,) or the (B, 1) sigma columns the
+    # fused pipelines produce via [..., None] — ravel before broadcasting.
+    ta = jnp.asarray(t, jnp.float32)
+    t_col = jnp.broadcast_to(ta.reshape(-1) if ta.ndim else ta, (B,))
     t_rep = jnp.broadcast_to(jnp.reshape(t_col, (B, 1)), (B, 128))
     return pl.pallas_call(
         kernel,

@@ -141,9 +141,10 @@ def isdwt2_pallas(xw, wt, t=0.0, has_t: bool = False, soft: bool = False,
     L = (P - 1) // 3
     kernel = _make_isdwt2_kernel(n, m, L, w.lo, w.hi, has_t, soft,
                                  undersmooth)
-    # scalar t (the documented default) broadcasts to a per-image column
-    t_col = jnp.broadcast_to(
-        jnp.asarray(t if has_t else jnp.zeros(B), jnp.float32), (B,))
+    # scalar t (the documented default) broadcasts to a per-image column;
+    # per-image arrays may arrive as (B,) or (B, 1) — ravel first.
+    ta = jnp.asarray(t if has_t else jnp.zeros(B), jnp.float32)
+    t_col = jnp.broadcast_to(ta.reshape(-1) if ta.ndim else ta, (B,))
     t_rep = jnp.broadcast_to(jnp.reshape(t_col, (B, 1)), (B, 128))
     return pl.pallas_call(
         kernel,

@@ -212,7 +212,10 @@ def _default_in_cutoff(precision, inverse: bool = False) -> int:
     The round-3 precision_ladder.json 68.5 Gsps DEFAULT row was a pre-guard
     slope artifact; the guarded ceiling is ~38-42 Gsps (BENCHMARKS.md r4)."""
     if precision == jax.lax.Precision.DEFAULT:
-        return 2048 if inverse else min(1024, _ops.MATMUL_CUTOFF)
+        # the inverse's measured optimum is 2x the forward's; both scale
+        # down together when the user lowers the global matmul cutoff
+        return (min(2048, 2 * _ops.MATMUL_CUTOFF) if inverse
+                else min(1024, _ops.MATMUL_CUTOFF))
     return min(512, _ops.MATMUL_CUTOFF)
 
 

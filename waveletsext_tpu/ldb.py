@@ -207,7 +207,9 @@ def _energy_map_idxs(Xw, idxs, method):
             maps.append(dens.reshape(*Xw.shape[1:], g))
         return jnp.stack(maps)
     if isinstance(method, Signatures):
-        assert method.weight in ("equal", "pdf")
+        if method.weight not in ("equal", "pdf"):
+            raise ValueError(f"Signatures weight must be 'equal' or 'pdf', "
+                             f"got {method.weight!r}")
         out = []
         for idx in idxs:
             xw = Xw[idx]
@@ -446,7 +448,9 @@ class LocalDiscriminantBasis:
         L = maxtransformlevels(min(sz))
         if self.max_dec_level is None:
             self.max_dec_level = L
-        assert 1 <= self.max_dec_level <= L
+        if not 1 <= self.max_dec_level <= L:
+            raise ValueError(
+                f"max_dec_level={self.max_dec_level} out of range [1, {L}]")
         if len(sz) == 1:
             Xw = _dwt_mod.wpd(X, self.wt, self.max_dec_level)
         else:
@@ -466,8 +470,12 @@ class LocalDiscriminantBasis:
             self.n_features = nelem
         if self.max_dec_level is None:
             self.max_dec_level = L - 1
-        assert self.max_dec_level + 1 == L
-        assert len(np.unique(np.asarray(y))) > 1
+        if self.max_dec_level + 1 != L:
+            raise ValueError(
+                f"decomposition has {L} levels but max_dec_level="
+                f"{self.max_dec_level}; expected max_dec_level + 1 == {L}")
+        if len(np.unique(np.asarray(y))) <= 1:
+            raise ValueError("y must contain at least two classes")
 
         self.Gamma = energy_map(Xw, y, self.en)
         self.DM = discriminant_measure(self.Gamma, self.dm)
@@ -496,13 +504,16 @@ class LocalDiscriminantBasis:
         # the minimal state transform/inverse_transform need (a deserialized
         # estimator may omit the energy maps, see serialization.py)
         for attr in ("sz", "tree", "order"):
-            assert getattr(self, attr) is not None, "estimator not fitted"
+            if getattr(self, attr) is None:
+                raise ValueError("estimator not fitted (call fit first)")
 
     def transform(self, X):
         """(LDB.jl:281-310)  -> (N, n_features)."""
         self._check_fitted()
         X = jnp.asarray(X)
-        assert tuple(X.shape[1:]) == self.sz
+        if tuple(X.shape[1:]) != self.sz:
+            raise ValueError(f"X has per-sample shape {tuple(X.shape[1:])}, "
+                             f"estimator was fitted on {self.sz}")
         if self._is2d():
             Xw = _dwt_mod.wpt2(X, self.wt, self.tree)
         else:
@@ -528,7 +539,9 @@ class LocalDiscriminantBasis:
         """(LDB.jl:394-411)  Xc: (N, n_features) -> (N, n[, m])."""
         self._check_fitted()
         Xc = jnp.asarray(Xc)
-        assert Xc.shape[1] == self.n_features
+        if Xc.shape[1] != self.n_features:
+            raise ValueError(f"Xc has {Xc.shape[1]} features, estimator "
+                             f"selects {self.n_features}")
         N = Xc.shape[0]
         nelem = int(np.prod(self.sz))
         flat = jnp.zeros((N, nelem), Xc.dtype)
@@ -544,7 +557,9 @@ class LocalDiscriminantBasis:
         if x.shape[1] != self.n_features:
             raise ValueError(
                 "f.n_features and number of columns of x do not match!")
-        assert 1 <= n_features <= int(np.prod(self.sz))
+        if not 1 <= n_features <= int(np.prod(self.sz)):
+            raise ValueError(f"n_features={n_features} out of range "
+                             f"[1, {int(np.prod(self.sz))}]")
         if self.n_features >= n_features:
             self.n_features = n_features
             return x[:, :n_features]

@@ -34,7 +34,8 @@ def packet(d: int, b: int, n: int) -> slice:
 def main2depthshift(sm: int, L: int) -> np.ndarray:
     """Cumulative per-depth shifts for an overall shift ``sm``
     (Utils.jl:297-305).  Returns length L+1, entry d = shift at depth d."""
-    assert sm < (1 << L), "shift must be < 2^L"
+    if not 0 <= sm < (1 << L):
+        raise ValueError(f"shift sm={sm} must be in [0, 2^{L})")
     sb = [(sm >> d) & 1 for d in range(L)]
     sd = np.cumsum([sb[d] << d for d in range(L)])
     return np.concatenate([[0], sd]).astype(int)

@@ -42,7 +42,8 @@ def dyadlength(n: int) -> int:
 def ndyad(L: int, Lmax: int, female: bool) -> slice:
     """0-based slice of the level-L dyad in the nonstandard 2n layout
     (utils.jl:146-155)."""
-    assert 1 <= L <= Lmax
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L={L} out of range [1, {Lmax}]")
     k = Lmax - L
     if female:
         return slice((1 << (k + 1)) + (1 << k), 1 << (k + 2))
@@ -53,7 +54,8 @@ def stretchmatrix(i, j, n: int, L: int):
     """Re-index nonzeros into the telescoped 2n x 2n nonstandard layout
     (utils.jl:98-114).  ``i``/``j`` are 0-based index arrays."""
     Lmax = maxtransformlevels(n)
-    assert 1 <= L <= Lmax
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L={L} out of range [1, {Lmax}]")
     ie = np.asarray(i).copy() + 1  # work 1-based like the reference
     je = np.asarray(j).copy() + 1
     for l in range(L):
@@ -76,7 +78,8 @@ def ns_dwt(x, wt, L: int | None = None):
     n = x.shape[-1]
     Lmax = maxtransformlevels(n)
     L = Lmax if L is None else L
-    assert 1 <= L <= Lmax
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L={L} out of range [1, {Lmax}]")
     nxw = jnp.zeros(x.shape[:-1] + (2 * n,), x.dtype)
     v = x
     for l in range(1, L + 1):
@@ -96,7 +99,8 @@ def ns_idwt(nxw, wt, L: int | None = None):
     n = nxw.shape[-1] // 2
     Lmax = maxtransformlevels(2 * n) - 1
     L = Lmax if L is None else L
-    assert 1 <= L <= Lmax
+    if not 1 <= L <= Lmax:
+        raise ValueError(f"L={L} out of range [1, {Lmax}]")
     head = nxw[..., : 1 << (Lmax - L)]
     for l in range(L, 0, -1):
         w1 = nxw[..., ndyad(l, Lmax, False)] + head
@@ -133,7 +137,8 @@ def mat2sparseform_nonstd(M, wt, L: int | None = None, eps: float = 1e-4):
     2n x 2n nonstandard layout -> BCOO (mat2sparse.jl:38-55)."""
     M = jnp.asarray(M)
     n = M.shape[0]
-    assert M.shape == (n, n)
+    if M.shape != (n, n):
+        raise ValueError(f"expected a square matrix, got {M.shape}")
     L = maxtransformlevels(n) if L is None else L
     Mw = np.asarray(dwt2(M, wt, L))
     maxcolnorm = np.linalg.norm(Mw, axis=0).max()
@@ -153,7 +158,8 @@ def mat2sparseform_std(M, wt, L: int | None = None, eps: float = 1e-4):
     """(mat2sparse.jl:89-100)."""
     M = jnp.asarray(M)
     n = M.shape[0]
-    assert M.shape == (n, n)
+    if M.shape != (n, n):
+        raise ValueError(f"expected a square matrix, got {M.shape}")
     Mw = np.asarray(sft(M, wt, L))
     maxcolnorm = np.linalg.norm(Mw, axis=0).max()
     nil = np.where(np.abs(Mw) > eps * maxcolnorm, Mw, 0.0)
@@ -178,7 +184,8 @@ def mat2denseform_nonstd(M, wt, L: int | None = None, eps: float = 1e-4):
     for the MXU product path."""
     M = jnp.asarray(M)
     n = M.shape[0]
-    assert M.shape == (n, n)
+    if M.shape != (n, n):
+        raise ValueError(f"expected a square matrix, got {M.shape}")
     L = maxtransformlevels(n) if L is None else L
     Mw = np.asarray(dwt2(M, wt, L))
     maxcolnorm = np.linalg.norm(Mw, axis=0).max()
@@ -195,7 +202,8 @@ def mat2denseform_std(M, wt, L: int | None = None, eps: float = 1e-4):
     """Zeros-kept dense standard form (the thresholded ``sft`` matrix)."""
     M = jnp.asarray(M)
     n = M.shape[0]
-    assert M.shape == (n, n)
+    if M.shape != (n, n):
+        raise ValueError(f"expected a square matrix, got {M.shape}")
     Mw = np.asarray(sft(M, wt, L))
     maxcolnorm = np.linalg.norm(Mw, axis=0).max()
     return jnp.asarray(np.where(np.abs(Mw) > eps * maxcolnorm, Mw, 0.0))
@@ -222,16 +230,24 @@ def _apply_form(op, nx, is_sparse: bool):
 
 def _resolve_op(M, n: int, wt, L, eps, form, builder_sparse, builder_dense,
                 op_rows: int):
-    """Accepts a prebuilt BCOO, a prebuilt dense *form* (``form='prebuilt'``,
-    or auto-detected for the nonstandard case where the form is (2n, 2n)),
-    or a raw (n, n) matrix to build per ``form`` in
-    {'auto', 'sparse', 'dense'}."""
+    """Accepts a prebuilt BCOO, a prebuilt dense *form* (``form='prebuilt'``
+    only — a raw matrix whose shape coincides with the form's is NOT
+    auto-detected, so a mistakenly passed un-transformed (2n, 2n) matrix
+    errors instead of silently producing garbage), or a raw (n, n) matrix
+    to build per ``form`` in {'auto', 'sparse', 'dense'}."""
     if isinstance(M, jsparse.BCOO):
         return M, True
     M = jnp.asarray(M)
-    if form == "prebuilt" or (M.shape[0] == op_rows and op_rows != n):
-        assert M.shape[0] == op_rows, (M.shape, op_rows)
+    if form == "prebuilt":
+        if M.shape[0] != op_rows:
+            raise ValueError(
+                f"form='prebuilt' expects a ({op_rows}, {op_rows}) dense "
+                f"operator form, got {M.shape}")
         return M, False
+    if M.shape[0] != n:
+        raise ValueError(
+            f"raw matrix must be ({n}, {n}) for length-{n} signals, got "
+            f"{M.shape}; pass form='prebuilt' for a prebuilt dense form")
     if form == "auto":
         form = "dense" if _tpu_backend() else "sparse"
     if form == "sparse":
@@ -252,7 +268,7 @@ def nonstd_wavemult(M, x, wt, L: int | None = None, eps: float = 1e-4,
     ``form``: 'sparse' BCOO, 'dense' zeros-kept, or 'auto' = dense on TPU /
     sparse elsewhere — see the dense-form rationale above), a prebuilt BCOO
     from :func:`mat2sparseform_nonstd`, or a prebuilt (2n, 2n) dense form
-    from :func:`mat2denseform_nonstd` (pass ``form='prebuilt'``)."""
+    from :func:`mat2denseform_nonstd` (requires ``form='prebuilt'``)."""
     n = x.shape[-1]
     L = maxtransformlevels(n) if L is None else L
     op, is_sparse = _resolve_op(M, n, wt, L, eps, form,
