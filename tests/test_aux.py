@@ -134,7 +134,30 @@ def test_wiggle_data():
     assert len(traces) == 3
     # zero crossings inserted -> more points than samples, zeros present
     assert len(traces[0]["t"]) >= 32
-    assert np.max(np.abs(np.concatenate([t["amp"] for t in traces]))) <= 1.0
+    # Overlap=True reference scaling: 2*dz*sc*wav/max(col range)
+    want = 2.0 * wav / np.max(wav.max(0) - wav.min(0))
+    got0 = [t["amp"][np.isin(t["t"], np.arange(1.0, 33.0))] for t in traces]
+    np.testing.assert_allclose(np.stack(got0, 1), want, atol=1e-12)
+    # Overlap=False: sc*wav/(max(0,max)-min(0,min)), bounded by sc
+    tr2 = viz.wiggle_data(wav, 1.0, Overlap=False)
+    assert np.max(np.abs(np.concatenate([t["amp"] for t in tr2]))) <= 1.0
+    # custom axes + ZDir reversal of the trace assignment
+    ta = np.linspace(0.0, 1.0, 32)
+    za = np.array([0.0, 10.0, 20.0])
+    tr3 = viz.wiggle_data(wav, taxis=ta, zaxis=za, ZDir="reverse", zc=False)
+    assert [t["offset"] for t in tr3] == [0.0, 10.0, 20.0]
+    np.testing.assert_allclose(tr3[0]["t"], ta)
+    dz = 10.0
+    np.testing.assert_allclose(
+        tr3[0]["amp"],
+        2 * dz * wav[:, 2] / np.max(wav.max(0) - wav.min(0)), atol=1e-12)
+    import pytest
+    with pytest.raises(ValueError):
+        viz.wiggle_data(wav, taxis=np.arange(5))
+    with pytest.raises(ValueError):
+        viz.wiggle_data(wav, zaxis=np.arange(5))
+    with pytest.raises(ValueError):
+        viz.wiggle_data(wav, ZDir="sideways")
 
 
 def test_relerror_data_matches_device_selector():
@@ -166,6 +189,13 @@ def test_viz_renders_with_matplotlib(tmp_path):
     ax2.figure.savefig(tmp_path / "tfbdry2.png")
     ax3 = viz.wiggle(RNG.standard_normal((64, 5)))
     ax3.figure.savefig(tmp_path / "wiggle.png")
+    # full reference kwarg surface renders (Visualizations.jl:392-475)
+    ax3b = viz.wiggle(RNG.standard_normal((64, 5)),
+                      taxis=np.linspace(0, 1, 64), zaxis=np.arange(5) * 2.0,
+                      sc=0.8, EdgeColor="navy", FaceColor="tab:red",
+                      Overlap=False, Orient="down", ZDir="reverse")
+    ax3b.figure.savefig(tmp_path / "wiggle_down.png")
+    assert (tmp_path / "wiggle_down.png").stat().st_size > 1000
     coefs = np.asarray(wx.dwt(jnp.asarray(RNG.standard_normal(128)),
                               "db4", 3))
     ax4 = viz.relerrorplot(coefs)

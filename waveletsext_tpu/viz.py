@@ -84,29 +84,60 @@ def tfbdry2(tree: np.ndarray, n: int, m: int):
     return rects
 
 
-def wiggle_data(wav: np.ndarray, sc: float = 1.0, zc: bool = True):
-    """Per-trace plot data for a seismic wiggle display.
+def wiggle_data(wav: np.ndarray, sc: float = 1.0, zc: bool = True, *,
+                taxis=None, zaxis=None, Overlap: bool = True,
+                ZDir: str = "normal"):
+    """Per-trace plot data for a seismic wiggle display
+    (Visualizations.jl:392-475, full parameter surface).
 
     ``wav``: (n, k) matrix, one trace per column (reference convention).
-    Returns a list of dicts with interpolated (t, amp) including zero
-    crossings and the fill mask for positive lobes
-    (Visualizations.jl:392-475)."""
+    ``taxis``/``zaxis``: sample-time and trace-offset coordinates (default
+    ``1:n`` / ``1:k``).  ``Overlap=True`` scales amplitudes to
+    ``2*dz*sc/max(col_max - col_min)`` (adjacent traces may overlap);
+    ``Overlap=False`` uses the reference's non-overlapping
+    ``sc/(max(0, max) - min(0, min))`` normalization.  ``ZDir='reverse'``
+    reverses the trace-to-offset assignment.  ``zc`` inserts interpolated
+    zero crossings so the positive-lobe fill has exact boundaries.
+
+    Returns a list of dicts with interpolated (t, amp), the trace offset and
+    the fill mask for positive lobes."""
     wav = np.asarray(wav, dtype=float)
     if wav.ndim == 1:
         wav = wav[:, None]
     n, k = wav.shape
-    t = np.arange(1, n + 1, dtype=float)
-    maxamp = np.max(np.abs(wav)) if np.max(np.abs(wav)) > 0 else 1.0
+    t = (np.arange(1, n + 1, dtype=float) if taxis is None
+         else np.asarray(taxis, dtype=float))
+    z = (np.arange(1, k + 1, dtype=float) if zaxis is None
+         else np.asarray(zaxis, dtype=float))
+    if len(t) != n:
+        raise ValueError(f"Inconsistent taxis dimension! ({len(t)} != {n})")
+    if len(z) != k:
+        raise ValueError(f"Inconsistent zaxis dimension! ({len(z)} != {k})")
+    if ZDir not in ("normal", "reverse"):
+        raise ValueError(f"ZDir must be 'normal' or 'reverse', got {ZDir!r}")
+    dz = float(np.mean(np.diff(z))) if k > 1 else 1.0
+    maxrow = wav.max(axis=0)
+    minrow = wav.min(axis=0)
+    if Overlap:
+        rng = np.max(maxrow - minrow)
+        wamp = 2.0 * dz * (sc / rng) * wav if rng > 0 else 0.0 * wav
+    else:
+        wmax = max(maxrow.max(), 0.0)
+        wmin = min(minrow.min(), 0.0)
+        wamp = sc * wav / (wmax - wmin) if wmax > wmin else 0.0 * wav
+    if ZDir == "reverse":
+        wamp = wamp[:, ::-1]
     traces = []
     for j in range(k):
-        amp = sc * wav[:, j] / maxamp
+        amp = wamp[:, j]
         if zc:
             tt = [t[0]]
             aa = [amp[0]]
             for i in range(n - 1):
                 a0, a1 = amp[i], amp[i + 1]
                 if a0 * a1 < 0:  # sign change: interpolate the crossing
-                    tz = t[i] + abs(a0) / (abs(a0) + abs(a1))
+                    tz = t[i] + abs(a0) / (abs(a0) + abs(a1)) * (t[i + 1]
+                                                                 - t[i])
                     tt.append(tz)
                     aa.append(0.0)
                 tt.append(t[i + 1])
@@ -116,7 +147,7 @@ def wiggle_data(wav: np.ndarray, sc: float = 1.0, zc: bool = True):
         else:
             tt, aa = t, amp
         traces.append({
-            "offset": float(j + 1),
+            "offset": float(z[j]),
             "t": tt,
             "amp": aa,
             "fill_mask": aa > 0,
@@ -230,14 +261,35 @@ def relerrorplot(coef, redundant: bool = False, tree=None, elbows: int = 2,
     return ax
 
 
-def wiggle(wav, sc: float = 1.0, zc: bool = True, ax=None, **kwargs):
+def wiggle(wav, sc: float = 1.0, zc: bool = True, ax=None, *,
+           taxis=None, zaxis=None, EdgeColor="black", FaceColor="black",
+           Overlap: bool = True, Orient: str = "across",
+           ZDir: str = "normal", **kwargs):
+    """Render the seismic wiggle plot (Visualizations.jl:392-475).
+
+    ``Orient='across'`` (reference default) runs time along x with trace
+    offsets on y; ``Orient='down'`` runs time down the (flipped) y axis.
+    ``EdgeColor``/``FaceColor`` set the trace line / positive-lobe fill
+    colors; remaining options are forwarded to :func:`wiggle_data`."""
+    if Orient not in ("across", "down"):
+        raise ValueError(f"Orient must be 'across' or 'down', got {Orient!r}")
     plt = _require_matplotlib()
     if ax is None:
         _, ax = plt.subplots()
-    for tr in wiggle_data(wav, sc, zc):
-        x = tr["offset"] + tr["amp"]
-        ax.plot(x, tr["t"], color="k", lw=0.7, **kwargs)
-        ax.fill_betweenx(tr["t"], tr["offset"], x,
-                         where=tr["fill_mask"], color="k")
-    ax.invert_yaxis()
+    traces = wiggle_data(wav, sc, zc, taxis=taxis, zaxis=zaxis,
+                         Overlap=Overlap, ZDir=ZDir)
+    for tr in traces:
+        a = tr["offset"] + tr["amp"]
+        if Orient == "down":
+            ax.plot(a, tr["t"], color=EdgeColor, lw=0.7, **kwargs)
+            ax.fill_betweenx(tr["t"], tr["offset"], a,
+                             where=tr["fill_mask"], color=FaceColor,
+                             alpha=0.75)
+        else:
+            ax.plot(tr["t"], a, color=EdgeColor, lw=0.7, **kwargs)
+            ax.fill_between(tr["t"], tr["offset"], a,
+                            where=tr["fill_mask"], color=FaceColor,
+                            alpha=0.75)
+    if Orient == "down":
+        ax.invert_yaxis()
     return ax
