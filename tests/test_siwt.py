@@ -279,3 +279,24 @@ def test_siwt_pipeline_precision_retrace():
                                                step_cutoff=32)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=1e-4)
+
+
+@pytest.mark.parametrize("t_mode", ["none", "scalar_soft", "persig_hard"])
+def test_deep_kernel_pipeline_matches_xla_hybrid(t_mode):
+    """The fused Pallas deep-zone kernel (kernels/pallas_siwt.py, forced
+    into interpreter mode on CPU) must match the XLA hybrid path: same
+    reconstruction, same min cost, with and without threshold fusion."""
+    rng = np.random.default_rng(11)
+    B, n, L, bud = 4, 2048, 8, 2
+    X = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
+    kw = {}
+    if t_mode == "scalar_soft":
+        kw = dict(t=0.4, soft=True)
+    elif t_mode == "persig_hard":
+        kw = dict(t=jnp.asarray(rng.uniform(0.2, 0.6, B).astype(np.float32)))
+    r0, c0 = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, bud,
+                                                deep_kernel=False, **kw)
+    r1, c1 = siwt_dense.siwt_bestbasis_pipeline(X, "db4", L, bud,
+                                                deep_kernel=True, **kw)
+    assert np.allclose(np.asarray(r0), np.asarray(r1), atol=2e-4)
+    assert np.allclose(np.asarray(c0), np.asarray(c1), rtol=1e-4)

@@ -354,6 +354,36 @@ def _deep_transition(n: int, L: int) -> int | None:
     return d0 if L - d0 >= 4 else None
 
 
+# Transition node-length for the FUSED KERNEL path (kernels/pallas_siwt.py),
+# keyed by matmul precision.  The kernel holds the whole zone in VMEM, so
+# unlike the XLA hybrid its transition is not pinned to the 128-lane tile:
+# earlier transitions trade more (cheap, 1-pass) MXU flops in the kernel for
+# fewer XLA shallow levels and their HBM traffic.  On-chip two-run
+# interleaved sweep (c6b B=256 n=4096 L=12 budget=2, BENCHMARKS.md r5):
+# nd0=256 is best or tied-best in every (precision, run) cell — 986/861
+# Msps DEFAULT, 757/929 HIGHEST vs 780-847 at 512 and 672-824 at 128.
+# nd0=1024 is excluded structurally: the 4 (D, nd0, nd0) operator banks
+# alone would exceed VMEM.
+_DEEP_ND_KERNEL = {"default": 256, "highest": 256}
+
+
+def _kernel_nd() -> int:
+    import jax as _jax
+    key = ("default" if conv.MATMUL_PRECISION == _jax.lax.Precision.DEFAULT
+           else "highest")
+    return _DEEP_ND_KERNEL[key]
+
+
+def _deep_transition_kernel(n: int, L: int) -> int | None:
+    """Kernel-path twin of :func:`_deep_transition` (precision-keyed
+    transition length, same n/zone-span gates)."""
+    if n < 2048:
+        return None
+    nd = _kernel_nd()
+    d0 = max(0, n.bit_length() - nd.bit_length())
+    return d0 if L - d0 >= 4 else None
+
+
 def _op(make, wtname: str, nd: int, dtype):
     w = _wavelet(wtname)
     return jnp.asarray(make(conv._ops.taps_key(w.lo, w.hi), nd), dtype)
@@ -456,14 +486,15 @@ def _threshold_vals(vals, t, soft: bool):
     return tuple(jnp.where(jnp.abs(v) > tb(v), v, 0.0) for v in vals)
 
 
-@apijit("wtname", "L", "budget", "soft", "cutoff")
+@apijit("wtname", "L", "budget", "soft", "cutoff", "deep_kernel",
+        "interpret", "d0")
 def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool,
-                  cutoff: int | None = None):
+                  cutoff: int | None = None, deep_kernel: bool = False,
+                  interpret: bool = False, d0: int | None = None):
     # NB: apijit (not plain jax.jit) so set_matmul_precision re-traces this
     # pipeline like every other public entry point (the r3 regression
     # class), and the probed step cutoff participates in the dispatch key.
     n = x.shape[-1]
-    d0 = _deep_transition(n, L)
     if d0 is None:
         vals = _decompose_packed(x, wtname, L, budget, cutoff)
         nrm = jnp.linalg.norm(x, axis=-1)
@@ -488,14 +519,30 @@ def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool,
         # masks by decomposing at full L metadata
         shallow = _decompose_packed_prefix(x, wtname, L, budget, d0,
                                            cutoff)
-    W0 = jnp.moveaxis(shallow[d0], -3, -1)  # (..., P, nd0, K0)
-    deep = _deep_decompose(W0, wtname, L, d0, budget)
-
     costs_sh = tuple(_shannon_costs(v, nrm) for v in shallow[:-1])
-    costs_dp = tuple(_shannon_costs_deep(v, nrm) for v in deep)
-    dec_dp, cstar_d0 = _deep_sweep(costs_dp, L, d0, budget)
-    # continue the shallow packed sweep from depth d0 with the deep seed
-    cstar = jnp.moveaxis(cstar_d0, -2, -1)  # (..., K0, P)
+    if deep_kernel:
+        # fused Pallas deep zone: decompose+costs+sweep+threshold+
+        # reconstruct in ONE VMEM trip (kernels/pallas_siwt.py) — the deep
+        # per-depth tensors never touch HBM
+        from ..kernels.pallas_siwt import siwt_deep_pipeline
+        lead = x.shape[:-1]
+        K0, P0, nd0 = shallow[d0].shape[-3:]
+        Wb = shallow[d0].reshape((-1, K0, P0, nd0))
+        has_t = t is not None
+        t_b = (jnp.broadcast_to(t, lead).reshape(-1) if has_t
+               else jnp.zeros((Wb.shape[0],), jnp.float32))
+        R_kernel, cst_b = siwt_deep_pipeline(
+            Wb, nrm.reshape(-1), t_b, wtname, L, d0, budget, has_t, soft,
+            interpret)
+        R_kernel = R_kernel.reshape(lead + (K0, P0, nd0))
+        cstar = cst_b.reshape(lead + (K0, P0))  # (..., K0, P)
+    else:
+        W0 = jnp.moveaxis(shallow[d0], -3, -1)  # (..., P, nd0, K0)
+        deep = _deep_decompose(W0, wtname, L, d0, budget)
+        costs_dp = tuple(_shannon_costs_deep(v, nrm) for v in deep)
+        dec_dp, cstar_d0 = _deep_sweep(costs_dp, L, d0, budget)
+        # continue the shallow packed sweep from depth d0 with the deep seed
+        cstar = jnp.moveaxis(cstar_d0, -2, -1)  # (..., K0, P)
     _, kid_pos, inv, has_kid = packed_shifts(L, budget)
     decisions_sh = [None] * d0
     for d in range(d0 - 1, -1, -1):
@@ -519,9 +566,12 @@ def _pipeline_jit(x, t, wtname: str, L: int, budget: int, soft: bool,
     mincost = cstar[..., 0, 0]
 
     shallow = _threshold_vals(shallow, t, soft)
-    deep = _threshold_vals(deep, t, soft)
-    R_d0 = _deep_reconstruct(deep, dec_dp, wtname, L, d0, budget)
-    R = jnp.moveaxis(R_d0, -1, -3)  # back to (..., K0, P, nd0)
+    if deep_kernel:
+        R = R_kernel
+    else:
+        deep = _threshold_vals(deep, t, soft)
+        R_d0 = _deep_reconstruct(deep, dec_dp, wtname, L, d0, budget)
+        R = jnp.moveaxis(R_d0, -1, -3)  # back to (..., K0, P, nd0)
     w = _wavelet(wtname)
     for d in range(d0 - 1, -1, -1):
         K = len(kid_pos[d])
@@ -560,12 +610,17 @@ def _decompose_packed_prefix(x, wtname: str, L: int, budget: int, d0: int,
 
 def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
                             t=None, soft: bool = False,
-                            step_cutoff: int | None = None):
+                            step_cutoff: int | None = None,
+                            deep_kernel: bool | None = None):
     """Fused siwpd -> best basis -> [threshold ->] isiwpd as ONE program.
 
     ``t`` (optional scalar or per-signal array) hard/soft-thresholds every
     coefficient table before reconstruction (selection runs on the
     unthresholded costs).  Returns ``(reconstruction, min_cost)``.
+
+    ``deep_kernel`` (default auto): run the deep zone through the fused
+    Pallas VMEM kernel (TPU, engages with the hybrid layout and small shift
+    budgets); pass True on CPU to force the interpreter-mode kernel (tests).
     """
     x = jnp.asarray(x)
     n = x.shape[-1]
@@ -574,7 +629,27 @@ def siwt_bestbasis_pipeline(x, wt, L: int | None = None, d: int | None = None,
     t = None if t is None else jnp.asarray(t)
     if step_cutoff is None:
         step_cutoff = _default_step_cutoff()
-    return _pipeline_jit(x, t, _wt(wt).name, L, d, soft, step_cutoff)
+    d0 = _deep_transition(n, L)
+    from .dwt import _tpu_backend
+    on_tpu = _tpu_backend()
+    if deep_kernel is None:
+        deep_kernel = on_tpu and d0 is not None
+    if deep_kernel:
+        # the fused kernel swallows the whole zone in VMEM, so it prefers
+        # an EARLIER transition than the XLA hybrid's lane-tile point
+        dk0 = _deep_transition_kernel(n, L)
+        if dk0 is not None:
+            from ..kernels.pallas_siwt import deep_pipeline_ok
+            if deep_pipeline_ok(L, dk0, d, n >> dk0):
+                d0 = dk0
+            else:
+                deep_kernel = False
+        else:
+            deep_kernel = False
+    else:
+        deep_kernel = False
+    return _pipeline_jit(x, t, _wt(wt).name, L, d, soft, step_cutoff,
+                         deep_kernel, deep_kernel and not on_tpu, d0)
 
 
 def _default_step_cutoff() -> int | None:
