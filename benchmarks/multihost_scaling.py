@@ -67,10 +67,34 @@ def worker(pid: int, nproc: int, port: int):
     for _ in range(reps):
         step()
     dt = (time.perf_counter() - t0) / reps
+
+    # explicit CP ring (shard_map ppermute halo exchange) across the same
+    # process-spanning device set: fixed per-device columns, measured the
+    # same way (round-5 VERDICT item 4)
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from waveletsext_tpu.parallel import cp
+    n_cp = 1024 * n_dev
+    spmesh = Mesh(np.asarray(jax.devices()).reshape(1, n_dev), ("dp", "sp"))
+    cols = n_cp // nproc
+    x_local_cp = np.random.default_rng(pid + 10).standard_normal(
+        (8, cols)).astype(np.float32)
+    x_cp = jax.make_array_from_process_local_data(
+        NamedSharding(spmesh, P(None, "sp")), x_local_cp, (8, n_cp))
+
+    def step_cp():
+        cp.wpd_cp(x_cp, "db4", 6, spmesh).block_until_ready()
+
+    step_cp()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        step_cp()
+    dt_cp = (time.perf_counter() - t0) / reps
     if pid == 0:
         print(json.dumps({"nproc": nproc, "n_dev": n_dev,
                           "secs_per_step": dt,
-                          "msps": B_per_dev * n_dev * n / dt / 1e6}),
+                          "msps": B_per_dev * n_dev * n / dt / 1e6,
+                          "cp_ring_secs_per_step": dt_cp,
+                          "cp_ring_msps": 8 * n_cp / dt_cp / 1e6}),
               flush=True)
 
 
@@ -101,6 +125,17 @@ def orchestrate():
     # overhead beyond that shared-hardware ideal (1.0 = collectives free).
     results["runtime_overhead_vs_shared_cpu_ideal"] = round(t2 / (2 * t1), 3)
     results["naive_weak_scaling_efficiency"] = round(t1 / t2, 3)
+    tc1 = results["1proc"]["cp_ring_secs_per_step"]
+    tc2 = results["2proc"]["cp_ring_secs_per_step"]
+    results["cp_ring_overhead_vs_shared_cpu_ideal"] = round(tc2 / (2 * tc1),
+                                                            3)
+    results["caveat"] = (
+        "Both processes share ONE physical CPU (localhost gloo): the ideal "
+        "2-process wall time is 2x the 1-process time, so "
+        "naive_weak_scaling_efficiency ~0.5 is EXPECTED here; the honest "
+        "figures are the *_overhead_vs_shared_cpu_ideal rows (1.0 = the "
+        "distributed runtime and collectives add nothing beyond sharing "
+        "the CPU). Real cross-host scaling needs real multi-host hardware.")
     print(f"t(2proc) / 2*t(1proc) = {t2/(2*t1):.3f}  "
           f"(<= 1.0 means the distributed runtime + gloo collectives add no "
           f"overhead beyond sharing the CPU)")

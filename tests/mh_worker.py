@@ -22,6 +22,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 2)
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.config.update("jax_enable_x64", True)  # f64 parity asserts below
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -66,3 +67,39 @@ assert np.isclose(agg, float(np.mean(np.asarray(sigma))))
 
 print(f"MH_OK rank={pid} procs={jax.process_count()} "
       f"devices={jax.device_count()}", flush=True)
+
+# --- explicit CP ring across REAL processes (round-5 VERDICT item 4) ------
+# shard_map ppermute halo exchange + coset all_to_all running over a
+# process-spanning sp mesh on gloo — the one multi-chip collective class
+# the single-process virtual mesh could not retire.
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from waveletsext_tpu.parallel import cp
+
+S = jax.device_count()
+ncp, Lcp = 64 * S, 4
+spmesh = Mesh(np.asarray(jax.devices()).reshape(1, S), ("dp", "sp"))
+Xcp_full = np.random.default_rng(7).standard_normal((2, ncp)).astype(
+    np.float64)
+cols = ncp // nproc
+x_cp = jax.make_array_from_process_local_data(
+    NamedSharding(spmesh, P(None, "sp")),
+    Xcp_full[:, pid * cols:(pid + 1) * cols], (2, ncp))
+
+xw_cp = cp.wpd_cp(x_cp, "db4", Lcp, spmesh)
+ref_wpd = np.asarray(wx.wpd(jnp.asarray(Xcp_full), "db4", Lcp))
+got_wpd = multihost.fetch_replicated(xw_cp, spmesh)
+assert np.allclose(got_wpd, ref_wpd, atol=1e-10), "wpd_cp cross-process"
+
+y_cp = cp.wpt_cp(x_cp, "db4", Lcp, spmesh)
+r_cp = cp.iwpt_cp(y_cp, "db4", Lcp, spmesh)
+assert np.allclose(multihost.fetch_replicated(r_cp, spmesh), Xcp_full,
+                   atol=1e-10), "wpt_cp->iwpt_cp cross-process round trip"
+
+den_cp = cp.swt_denoise_cp(x_cp, "db4", Lcp, 0.5, spmesh, soft=True)
+xw_ref = wx.sdwt(jnp.asarray(Xcp_full), "db4", Lcp)
+ref_den = np.asarray(wx.isdwt(
+    jnp.sign(xw_ref) * jnp.maximum(jnp.abs(xw_ref) - 0.5, 0.0), "db4"))
+got_den = multihost.fetch_replicated(den_cp, spmesh)
+assert np.allclose(got_den, ref_den, atol=1e-10), "swt_denoise_cp"
+
+print(f"MH_CP_OK rank={pid} ring={S}", flush=True)

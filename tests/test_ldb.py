@@ -1,6 +1,7 @@
 """LDB tests (reference test/ldb.jl shape/smoke coverage)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 import warnings
@@ -132,3 +133,42 @@ def test_fused_fit_transform_matches_estimator():
         assert np.array_equal(fus.tree, ref.tree), (en, dm, dp)
         assert np.array_equal(fus.order, ref.order), (en, dm, dp)
         assert np.allclose(got, want, atol=1e-10), (en, dm, dp)
+
+
+def test_emd_presorted_matches_pair_oracle():
+    """The round-5 presorted bitonic-merge EMD must equal the per-pair
+    merged-sort oracle _emd_pair exactly: unequal counts, arbitrary
+    positive weights, ties in the supports."""
+    rng = np.random.default_rng(3)
+    R, N1, N2 = 7, 13, 21
+    p = jnp.asarray(rng.standard_normal((R, N1)))
+    q = jnp.asarray(rng.standard_normal((R, N2)))
+    # inject ties within and across supports
+    p = p.at[:, 3].set(p[:, 5])
+    q = q.at[:, 2].set(p[:, 1])
+    wp = jnp.asarray(rng.uniform(0.1, 2.0, (R, N1)))
+    wq = jnp.asarray(rng.uniform(0.1, 2.0, (R, N2)))
+    ps, wps = jax.lax.sort([p, wp], num_keys=1)
+    qs, wqs = jax.lax.sort([q, wq], num_keys=1)
+    got = np.asarray(ldb._emd_presorted(ps, wps, qs, wqs))
+    want = np.asarray(jax.vmap(ldb._emd_pair)(p, wp, q, wq))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
+
+
+def test_emd_general_path_uses_presorted_merge_and_matches():
+    """discriminant_measure over Signatures('pdf')-style general weights
+    (unequal class counts) must match the summed _emd_pair oracle."""
+    rng = np.random.default_rng(4)
+    sigs = []
+    for Nc in (9, 14, 11):
+        coef = jnp.asarray(rng.standard_normal((Nc, 4, 8)))
+        w = jnp.asarray(rng.uniform(0.05, 1.0, (Nc, 4, 8)))
+        sigs.append(ldb.Signature(coef, w))
+    got = np.asarray(ldb.discriminant_measure(sigs, ldb.EarthMoverDistance()))
+    want = 0.0
+    import itertools
+    for g1, g2 in itertools.combinations(sigs, 2):
+        want = want + np.asarray(
+            ldb.pairwise_discriminant_measure(g1, g2,
+                                              ldb.EarthMoverDistance()))
+    np.testing.assert_allclose(got, want, rtol=1e-10)

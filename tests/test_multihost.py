@@ -41,3 +41,6 @@ def test_two_process_jbb_pipeline():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
         assert f"MH_OK rank={pid} procs=2 devices=4" in out, out
+        # explicit CP ring (shard_map ppermute + coset all_to_all) across
+        # REAL processes: wpd_cp parity, wpt->iwpt round trip, fused denoise
+        assert f"MH_CP_OK rank={pid} ring=4" in out, out

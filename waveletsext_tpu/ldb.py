@@ -256,6 +256,63 @@ def _pairwise_elementwise(p, q, dm):
     raise TypeError(f"unknown measure {dm!r}")
 
 
+def _bitonic_merge_kv(k1, v1, k2, v2):
+    """Merge two ASCENDING-sorted (..., N) key arrays (with carried values)
+    into sorted (..., M) arrays, M = next power of two >= N1+N2, via the
+    bitonic merge network — log2(M) elementwise compare-exchange stages
+    instead of a full O(log^2) sort of the concatenation.  Pad keys equal
+    the per-row maximum, so the padded tail contributes zero-width intervals
+    to any downstream CDF integral; pad values are 0."""
+    N1, N2 = k1.shape[-1], k2.shape[-1]
+    M = 1 << (N1 + N2 - 1).bit_length()
+    big = jnp.maximum(k1[..., -1:], k2[..., -1:])
+
+    def pad(k, v, m):
+        if not m:
+            return k, v
+        return (jnp.concatenate(
+                    [k, jnp.broadcast_to(big, (*k.shape[:-1], m))], -1),
+                jnp.concatenate(
+                    [v, jnp.zeros((*v.shape[:-1], m), v.dtype)], -1))
+
+    k1p, v1p = pad(k1, v1, M // 2 - N1)
+    k2p, v2p = pad(k2, v2, M - M // 2 - N2)
+    # ascending ++ reversed(ascending) = bitonic (the equal-max pads sit at
+    # the junction, preserving monotonicity on both flanks)
+    keys = jnp.concatenate([k1p, jnp.flip(k2p, -1)], -1)
+    vals = jnp.concatenate([v1p, jnp.flip(v2p, -1)], -1)
+    w = M // 2
+    while w >= 1:
+        sh = keys.shape
+        ks = keys.reshape(*sh[:-1], -1, 2, w)
+        vs = vals.reshape(*sh[:-1], -1, 2, w)
+        klo, khi = ks[..., 0, :], ks[..., 1, :]
+        vlo, vhi = vs[..., 0, :], vs[..., 1, :]
+        swap = klo > khi
+        kl = jnp.where(swap, khi, klo)
+        kh = jnp.where(swap, klo, khi)
+        vl = jnp.where(swap, vhi, vlo)
+        vh = jnp.where(swap, vlo, vhi)
+        keys = jnp.stack([kl, kh], axis=-2).reshape(sh)
+        vals = jnp.stack([vl, vh], axis=-2).reshape(sh)
+        w //= 2
+    return keys, vals
+
+
+def _emd_presorted(p, wp, q, wq):
+    """EMD between presorted weighted signatures, batched over leading axes
+    (same integral as :func:`_emd_pair`, ldb_measures.jl:327-360): the
+    merged support comes from ONE bitonic merge of the two presorted rows —
+    each class is sorted once and reused across every class pair — and the
+    |CDF_p - CDF_q| integral is a cumsum over signed weights.  Exact
+    including ties (zero-width intervals) and unequal weight totals (the
+    integral stops at the merged maximum, as in the reference)."""
+    zs, us = _bitonic_merge_kv(p, wp, q, -wq)
+    cdf = jnp.cumsum(us, axis=-1)[..., :-1]
+    emd = jnp.sum(jnp.abs(cdf) * (zs[..., 1:] - zs[..., :-1]), axis=-1)
+    return emd / (jnp.sum(wp, axis=-1) + jnp.sum(wq, axis=-1))
+
+
 def _emd_pair(p, wp, q, wq):
     """Earth mover's distance between two weighted 1-D signatures
     (ldb_measures.jl:327-360).
@@ -316,6 +373,48 @@ def discriminant_measure(gamma, dm):
                 d = jnp.sum(jnp.abs(s1 - s2), axis=0) / (2 * Nc)
                 D = d if D is None else D + d
             return D
+        if isinstance(dm, EarthMoverDistance):
+            # general weights / unequal counts (Signatures('pdf') included):
+            # sort each class ONCE (coef rows keyed, weights carried) and
+            # integrate each pair from the presorted supports via a bitonic
+            # merge — no per-pair 2N-row sort (round-5; exact-parity-tested
+            # against _emd_pair)
+            shape = gamma[0].coef.shape[1:]
+            Nmax = max(g.coef.shape[0] for g in gamma)
+            sorted_cw = []
+            for g in gamma:
+                Nc = g.coef.shape[0]
+                p = g.coef.reshape(Nc, -1).T  # (ncoord, Nc)
+                w = (jnp.full_like(p, g.weight) if np.isscalar(g.weight)
+                     else g.weight.reshape(Nc, -1).T)
+                ps, ws_ = jax.lax.sort([p, w], num_keys=1)
+                if Nc < Nmax:
+                    # weight-0 pads at the per-row max merely refine the
+                    # step-function partition — the |CDF| integral and the
+                    # weight totals are unchanged (unequal class counts)
+                    m = Nmax - Nc
+                    ps = jnp.concatenate(
+                        [ps, jnp.broadcast_to(ps[:, -1:], (ps.shape[0], m))],
+                        -1)
+                    ws_ = jnp.concatenate(
+                        [ws_, jnp.zeros((ws_.shape[0], m), ws_.dtype)], -1)
+                sorted_cw.append((ps, ws_))
+            from .transforms.dwt import _tpu_backend
+            if _tpu_backend():
+                # fused merge+integral kernel: one VMEM trip per row tile
+                from .kernels.pallas_emd import emd_presorted_pallas
+                pairs = list(itertools.combinations(sorted_cw, 2))
+                P = jnp.concatenate([p for (p, _), _ in pairs])
+                WP = jnp.concatenate([wp for (_, wp), _ in pairs])
+                Q = jnp.concatenate([q for _, (q, _) in pairs])
+                WQ = jnp.concatenate([wq for _, (_, wq) in pairs])
+                d = emd_presorted_pallas(P, WP, Q, WQ)
+                return d.reshape(len(pairs), -1).sum(0).reshape(shape)
+            D = None
+            for (p, wp), (q, wq) in itertools.combinations(sorted_cw, 2):
+                d = _emd_presorted(p, wp, q, wq)
+                D = d if D is None else D + d
+            return D.reshape(shape)
         D = None
         for g1, g2 in itertools.combinations(gamma, 2):
             d = pairwise_discriminant_measure(g1, g2, dm)
