@@ -115,6 +115,63 @@ def main():
             lambda c: jax.vmap(basis_mod._ash_differential_entropy)(c)),
             coords), samples)
 
+    # -- 2-D LSDB (round-5 VERDICT item 3: first 2-D measurement) ---------
+    B2, n2, L2 = 256, 32, 3
+    x2 = jnp.asarray(rng.standard_normal((B2, n2, n2)).astype(np.float32))
+    samples2 = B2 * n2 * n2
+    row("c4l_lsdb2_fused", slope_secs(
+        lambda a: wx.bestbasis_pipeline(a, "db4", L2, method=wx.LSDB(),
+                                        is2d=True)[1], x2), samples2)
+    def carry2(fn):
+        return lambda a: a + jnp.sum(fn(a)) * 1e-30
+    row("c4l_lsdb2_costs_stream", slope_secs(carry2(
+        lambda a: basis_mod._stream_costs(a, "db4", L2, wx.LSDB(), True)),
+        x2), samples2)
+    row("c4l_lsdb2_costs_stacked", slope_secs(carry2(
+        lambda a: basis_mod._lsdb_stacked_costs_2d(
+            wx.wpd2(a, "db4", L2))), x2), samples2)
+    a2 = np.asarray(basis_mod._stream_costs(x2, "db4", L2, wx.LSDB(), True))
+    b2 = np.asarray(basis_mod._lsdb_stacked_costs_2d(
+        wx.wpd2(x2, "db4", L2)))
+    out["stacked2d_max_abs_diff"] = float(np.abs(a2 - b2).max())
+    print("2-D stacked vs stream max diff:", out["stacked2d_max_abs_diff"])
+
+    # -- big-batch count-kernel A/B (round-5 VERDICT item 3): one-hot vs a
+    # sorted-row searchsorted rank-difference count ------------------------
+    def ash_sortcount(x):
+        N = x.shape[0]
+        M = 50
+        nbins = int(np.ceil((30 * N) ** 0.2))
+        mbins = int(np.ceil(M / nbins))
+        g = (nbins + 1) * mbins
+        sigma = jnp.std(x, ddof=1)
+        lo = jnp.min(x) - 0.5 * sigma
+        delta = (jnp.max(x) - jnp.min(x) + sigma) / (g - 1)
+        xs = jnp.sort(x)
+        edges = lo + delta * jnp.arange(1, g, dtype=x.dtype)
+        ranks = jnp.searchsorted(xs, edges)  # gathers: expected slow
+        counts = jnp.diff(jnp.concatenate(
+            [jnp.zeros(1, ranks.dtype), ranks,
+             jnp.full((1,), N, ranks.dtype)]))
+        counts = counts.astype(x.dtype)
+        S = jnp.asarray(basis_mod._ash_smoothing_matrix(g, mbins), x.dtype)
+        smoothed = S @ counts
+        density = smoothed / (jnp.sum(smoothed) * delta)
+        tiny = np.finfo(np.float32).tiny
+        logd = jnp.log(jnp.maximum(density, tiny))
+        return -(counts @ logd) / N
+
+    for B, tag in ((1024, "1k"), (16384, "16k")):
+        coords = jnp.asarray(
+            rng.standard_normal((2304, B)).astype(np.float32))
+        def carry3(fn):
+            return lambda c: c + jnp.sum(fn(c)) * 1e-30
+        row(f"count_{tag}_onehot", slope_secs(carry3(
+            lambda c: jax.vmap(basis_mod._ash_differential_entropy)(c)),
+            coords), 2304 * B)
+        row(f"count_{tag}_sortranks", slope_secs(carry3(
+            lambda c: jax.vmap(ash_sortcount)(c)), coords), 2304 * B)
+
     # numerical agreement of the stacked formulation
     x = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
     a = np.asarray(basis_mod._stream_costs(x, "db4", 8, wx.LSDB(), False))

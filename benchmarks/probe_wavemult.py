@@ -80,7 +80,9 @@ def main():
         print(f"{name:28s} n={n:5d} {secs*1e3:9.3f} ms/app "
               f"{mvps:12.0f} matvec/s", flush=True)
 
-    for n in (512, 1024, 2048):
+    sizes = tuple(int(s) for s in os.environ.get(
+        "PROBE_SIZES", "512,1024,2048").split(","))
+    for n in sizes:
         M = cz_matrix(n)
         rng = np.random.default_rng(0)
         x = jnp.asarray(rng.standard_normal((B, n)).astype(np.float32))
@@ -101,15 +103,16 @@ def main():
                                          form="prebuilt"), x), n,
             {"nnz": nnz})
 
-        sp_st = wm.mat2sparseform_std(M, "db4")
-        de_st = wm.mat2denseform_std(M, "db4")
-        nnz_st = int(sp_st.nse)
-        row("std_bcoo", slope_secs(
-            lambda v: wm.std_wavemult(sp_st, v, "db4"), x), n,
-            {"nnz": nnz_st, "fill": nnz_st / (n * n)})
-        row("std_dense", slope_secs(
-            lambda v: wm.std_wavemult(de_st, v, "db4", form="prebuilt"),
-            x), n, {"nnz": nnz_st})
+        if n <= 4096:  # std forms at n >= 8k exceed useful probe budget
+            sp_st = wm.mat2sparseform_std(M, "db4")
+            de_st = wm.mat2denseform_std(M, "db4")
+            nnz_st = int(sp_st.nse)
+            row("std_bcoo", slope_secs(
+                lambda v: wm.std_wavemult(sp_st, v, "db4"), x), n,
+                {"nnz": nnz_st, "fill": nnz_st / (n * n)})
+            row("std_dense", slope_secs(
+                lambda v: wm.std_wavemult(de_st, v, "db4", form="prebuilt"),
+                x), n, {"nnz": nnz_st})
 
     (ROOT / "benchmarks" / "probe_wavemult.json").write_text(
         json.dumps(out, indent=2))

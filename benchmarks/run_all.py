@@ -363,6 +363,22 @@ def main():
     record("c5c_ldb_emd_fused_4k", slope_time(c5_emd, Xb, 2, 16), Xb.size,
            {"N": 3 * Nb})
 
+    # Signatures('pdf')/EMD fused fit (round 5: each class chunk-sorted once
+    # via the fast-path 256-lane XLA sort + Pallas bitonic cascade; every
+    # pair integrated by the fused merge+prefix+|CDF| kernel)
+    fp = ldb_mod.LocalDiscriminantBasis(wt="haar", n_features=10,
+                                        en=ldb_mod.Signatures("pdf"),
+                                        dm=ldb_mod.EarthMoverDistance())
+    np.asarray(wx.ldb_fit_transform_pipeline(fp, Xb, yb))  # resolve config
+
+    def c5_emd_pdf(a):
+        _, _, _, feats = _ldb_pipeline(a, fp.wt, fp.max_dec_level, fp.en,
+                                       fp.dm, fp.dp, fp.top_k, fp.n_features,
+                                       idxsb, False)
+        return a + jnp.sum(feats) * 1e-30
+    record("c5c_ldb_emd_pdf_fused_4k", slope_time(c5_emd_pdf, Xb, 2, 16),
+           Xb.size, {"N": 3 * Nb})
+
     # -- config 6: dense batched SIWT (siwpd -> 3-way best basis ->
     # threshold -> inverse, one program; reference runs this as a host dict
     # recursion, SIWT.jl:93-136) ------------------------------------------

@@ -690,6 +690,25 @@ def _lsdb_stacked_costs_1d(xw):
          for d in range(Lp1)])
 
 
+def _lsdb_stacked_costs_2d(xw):
+    """2-D twin of :func:`_lsdb_stacked_costs_1d`: ONE vmap over ALL
+    (L+1)*n*m coordinates of the materialized wpd2 stack; per-node quad
+    costs are blocked reshape-sums in Z-order.  On chip (B=256 32x32 L=3,
+    probe_lsdb.py r5) this is 2.0-2.3x the streamed per-level loop
+    (0.172 -> 0.086/0.075 ms) — same latency-bound win class as 1-D."""
+    N, Lp1, n, m = xw.shape
+    coords = jnp.moveaxis(xw, 0, -1).reshape(-1, N)
+    ents = jax.vmap(_ash_differential_entropy)(coords)
+    lvl = ents.reshape(Lp1, n, m)
+    out = []
+    for d in range(Lp1):
+        g = 1 << d
+        blocks = lvl[d].reshape(g, n >> d, g, m >> d)
+        c = jnp.sum(blocks, axis=(1, 3)).reshape(g * g)
+        out.append(c[_zorder_perm(d)])
+    return jnp.concatenate(out)
+
+
 def _pipeline_costs(x, wt, L, method, is2d):
     """(costs, extract_fn): stack-based when the fused Pallas stack kernel
     engages (one VMEM trip emits every level plane), streamed otherwise."""
@@ -697,6 +716,13 @@ def _pipeline_costs(x, wt, L, method, is2d):
     from .transforms import dwt as _dwt_mod
     from .transforms.dwt import _pallas_wpd2_ok, _wt as _dwt_wt
     from .kernels import conv as _conv
+    if (is2d and isinstance(method, LSDB)
+            and isinstance(method.cost, DifferentialEntropyCost)
+            and x.shape[0] <= LSDB_STACK_MAX_BATCH):
+        # measured 2-D twin of the 1-D stacked-costs dispatch below
+        xw = _dwt_mod.wpd2(x, wt, L)
+        return (_lsdb_stacked_costs_2d(xw),
+                lambda tree: _stream_extract(x, wt, L, tree, True))
     if (not is2d and isinstance(method, LSDB)
             and isinstance(method.cost, DifferentialEntropyCost)
             and x.shape[0] <= LSDB_STACK_MAX_BATCH):

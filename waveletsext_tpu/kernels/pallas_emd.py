@@ -26,60 +26,161 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _cmpx_roll(Z, U, w, pos, dirv=None):
+    """One bitonic compare-exchange stage at sublane distance ``w`` on flat
+    (M, TB) arrays, via rolls + parity masks.  (The blocked-reshape
+    formulation pads the w axis to 8 sublanes, blowing Mosaic's scoped VMEM
+    stack ~8x at the low-w stages; rolls keep every temporary flat.)
+    ``dirv`` True marks descending blocks (alternating-direction cascade);
+    None = all ascending.  Pair (i, i+w), i with (i & w) == 0: both sides
+    take the partner iff key_low > key_high (XOR direction) — consistent
+    under ties."""
+    low = (pos & w) == 0
+    Zp = jnp.roll(Z, -w, axis=0)  # partner seen from the low side
+    Up = jnp.roll(U, -w, axis=0)
+    Zq = jnp.roll(Z, w, axis=0)   # partner seen from the high side
+    Uq = jnp.roll(U, w, axis=0)
+    take_lo = Z > Zp              # low side: partner is smaller
+    take_hi = Zq > Z              # high side: low partner is bigger
+    if dirv is not None:
+        take_lo = take_lo ^ dirv
+        take_hi = take_hi ^ dirv
+    # logical combine, not where-on-bools (Mosaic: i1 select unsupported)
+    take = (low & take_lo) | (~low & take_hi)
+    Zn = jnp.where(low, Zp, Zq)
+    Un = jnp.where(low, Up, Uq)
+    return (jnp.where(take, Zn, Z), jnp.where(take, Un, U))
+
+
 def _merge_stages(Z, U, M2):
     """Bitonic merge of the (M2, TB) key/value pair (keys bitonic on the
-    sublane axis): log2(M2) blocked compare-exchange stages -> ascending."""
-    TB = Z.shape[-1]
+    sublane axis): log2(M2) compare-exchange stages -> ascending."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, Z.shape, 0)
     w = M2 // 2
     while w >= 1:
-        zs = Z.reshape(-1, 2, w, TB)
-        us = U.reshape(-1, 2, w, TB)
-        zlo, zhi = zs[:, 0], zs[:, 1]
-        ulo, uhi = us[:, 0], us[:, 1]
-        swap = zlo > zhi
-        nzlo = jnp.where(swap, zhi, zlo)
-        nzhi = jnp.where(swap, zlo, zhi)
-        nulo = jnp.where(swap, uhi, ulo)
-        nuhi = jnp.where(swap, ulo, uhi)
-        Z = jnp.stack([nzlo, nzhi], axis=1).reshape(M2, TB)
-        U = jnp.stack([nulo, nuhi], axis=1).reshape(M2, TB)
+        Z, U = _cmpx_roll(Z, U, w, pos)
         w //= 2
     return Z, U
 
 
-def _cumsum_sublane(U, M2):
-    """Inclusive prefix sum along sublanes via roll-doubling (Mosaic has no
-    cumsum primitive)."""
+def _cumsum_block(U, M2, Ltri):
+    """Inclusive prefix sum along sublanes: per-128-block triangular-matmul
+    prefixes (exact f32 via HIGHEST) + sequential block-offset chaining.
+    Mosaic has no cumsum primitive, and a roll-doubling prefix composed
+    after the merge stages triggers a ~6x lowering pathology (measured —
+    see BENCHMARKS.md r5); the MXU block prefix composes cleanly."""
     TB = U.shape[-1]
-    idx = jax.lax.broadcasted_iota(jnp.int32, (M2, TB), 0)
-    s = U
-    sh = 1
-    while sh < M2:
-        s = s + jnp.where(idx >= sh, jnp.roll(s, sh, axis=0), 0.0)
-        sh *= 2
-    return s
+    bs = Ltri.shape[0]
+    prefs = [jax.lax.dot(Ltri, U[i * bs:(i + 1) * bs, :],
+                         precision=jax.lax.Precision.HIGHEST)
+             for i in range(M2 // bs)]
+    off = jnp.zeros((1, TB), U.dtype)
+    outs = []
+    for pr in prefs:
+        outs.append(pr + off)
+        off = off + pr[bs - 1:bs, :]
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _make_kernel(M: int, TB: int):
+def _make_kernel(M: int, TB: int, bs: int):
     M2 = 2 * M
 
-    def kernel(p_ref, wp_ref, q_ref, wq_ref, o_ref):
+    def kernel(p_ref, wp_ref, q_ref, wq_ref, l_ref, o_ref):
         # q arrives lane-flipped (descending) with negated weights
         Z = jnp.concatenate([p_ref[:].T, q_ref[:].T], axis=0)  # (2M, TB)
         U = jnp.concatenate([wp_ref[:].T, wq_ref[:].T], axis=0)
         Z, U = _merge_stages(Z, U, M2)
-        cdf = _cumsum_sublane(U, M2)
+        cdf = _cumsum_block(U, M2, l_ref[:])
         dz = jnp.concatenate([Z[1:] - Z[:-1], jnp.zeros((1, TB), Z.dtype)],
                              axis=0)
         o_ref[:] = jnp.sum(jnp.abs(cdf) * dz, axis=0, keepdims=True)
 
     return kernel
+
+
+_CHUNK = 256  # XLA's TPU row sort has a ~3x fast path at length <= 256
+
+
+def _make_cascade_kernel(M: int, TB: int, chunk: int):
+    """Bitonic merge cascade: chunks of ``chunk`` arrive sorted in
+    ALTERNATING directions (even asc, odd desc — the XLA wrapper pre-flips
+    the odd ones); each round merges adjacent blocks with the standard
+    alternating-direction bitonic network (direction = parity of the
+    output block, statically derived from the sublane iota), ending fully
+    ascending."""
+
+    def kernel(k_ref, v_ref, ko_ref, vo_ref):
+        Z = k_ref[:].T  # (M, TB)
+        U = v_ref[:].T
+        pos = jax.lax.broadcasted_iota(jnp.int32, Z.shape, 0)
+        W = 2 * chunk
+        while W <= M:
+            dirv = (pos // W) % 2 == 1  # True = descending output block
+            w = W // 2
+            while w >= 1:
+                Z, U = _cmpx_roll(Z, U, w, pos, dirv)
+                w //= 2
+            W *= 2
+        ko_ref[:] = Z.T
+        vo_ref[:] = U.T
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sort_rows_pallas(keys, vals, interpret: bool = False):
+    """Row-sort (keys ascending, vals carried) tuned for LONG rows on TPU:
+    XLA sorts 256-lane chunks (its fast path), then a Pallas bitonic merge
+    cascade combines the chunks in VMEM.  Returns (keys_sorted, vals).
+    Pads keys with the per-row max (callers relying on zero-width-interval
+    padding semantics get them for free); output keeps the padded width
+    M = next power-of-two multiple of 256."""
+    R, N = keys.shape
+    M = _CHUNK
+    while M < N:
+        M *= 2
+    big = keys[:, -1:] * 0 + jnp.max(keys, axis=-1, keepdims=True)
+    if M != N:
+        keys = jnp.concatenate(
+            [keys, jnp.broadcast_to(big, (R, M - N))], -1)
+        vals = jnp.concatenate([vals, jnp.zeros((R, M - N), vals.dtype)], -1)
+    C = M // _CHUNK
+    kc = keys.reshape(R, C, _CHUNK)
+    vc = vals.reshape(R, C, _CHUNK)
+    ks, vs = jax.lax.sort([kc, vc], num_keys=1)  # fast-path 256-lane rows
+    if C == 1:
+        return ks.reshape(R, M), vs.reshape(R, M)
+    odd = (jnp.arange(C) % 2 == 1)[None, :, None]
+    ks = jnp.where(odd, jnp.flip(ks, -1), ks).reshape(R, M)
+    vs = jnp.where(odd, jnp.flip(vs, -1), vs).reshape(R, M)
+    # Mosaic allocates the cascade's per-stage temporaries on the scoped
+    # VMEM stack (~stages * 2 * M * TB * 4B) — TB=64 keeps the ~30-stage
+    # cascade under the 96 MB scoped limit at M=2048
+    TB = 64
+    Rp = -(-R // TB) * TB
+    if Rp != R:
+        ks = jnp.concatenate([ks, jnp.zeros((Rp - R, M), ks.dtype)], 0)
+        vs = jnp.concatenate([vs, jnp.zeros((Rp - R, M), vs.dtype)], 0)
+    kernel = _make_cascade_kernel(M, TB, _CHUNK)
+    spec = pl.BlockSpec((TB, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ko, vo = pl.pallas_call(
+        kernel,
+        grid=(Rp // TB,),
+        in_specs=[spec, spec],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((Rp, M), keys.dtype),
+                   jax.ShapeDtypeStruct((Rp, M), vals.dtype)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(ks, vs)
+    return ko[:R], vo[:R]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -110,17 +211,21 @@ def emd_presorted_pallas(p, wp, q, wq, interpret: bool = False):
         padrow = lambda a: jnp.concatenate(
             [a, jnp.zeros((Rp - R, M), a.dtype)], 0)
         pk, pv, qk, qv = padrow(pk), padrow(pv), padrow(qk), padrow(qv)
-    kernel = _make_kernel(M, TB)
+    bs = min(128, 2 * M)
+    Ltri = jnp.asarray(np.tril(np.ones((bs, bs), np.float32)))
+    kernel = _make_kernel(M, TB, bs)
     spec = pl.BlockSpec((TB, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(Rp // TB,),
-        in_specs=[spec, spec, spec, spec],
+        in_specs=[spec, spec, spec, spec,
+                  pl.BlockSpec((bs, bs), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, TB), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, Rp), p.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
-    )(pk, pv, qk, qv)
+    )(pk, pv, qk, qv, Ltri)
     emd = out[0, :R]
     return emd / (jnp.sum(wp, axis=-1) + jnp.sum(wq, axis=-1))

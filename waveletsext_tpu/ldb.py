@@ -381,28 +381,32 @@ def discriminant_measure(gamma, dm):
             # against _emd_pair)
             shape = gamma[0].coef.shape[1:]
             Nmax = max(g.coef.shape[0] for g in gamma)
-            sorted_cw = []
+            from .transforms.dwt import _tpu_backend
+            on_tpu = _tpu_backend()
+            raw_cw = []
             for g in gamma:
                 Nc = g.coef.shape[0]
                 p = g.coef.reshape(Nc, -1).T  # (ncoord, Nc)
                 w = (jnp.full_like(p, g.weight) if np.isscalar(g.weight)
                      else g.weight.reshape(Nc, -1).T)
-                ps, ws_ = jax.lax.sort([p, w], num_keys=1)
                 if Nc < Nmax:
                     # weight-0 pads at the per-row max merely refine the
                     # step-function partition — the |CDF| integral and the
                     # weight totals are unchanged (unequal class counts)
                     m = Nmax - Nc
-                    ps = jnp.concatenate(
-                        [ps, jnp.broadcast_to(ps[:, -1:], (ps.shape[0], m))],
-                        -1)
-                    ws_ = jnp.concatenate(
-                        [ws_, jnp.zeros((ws_.shape[0], m), ws_.dtype)], -1)
-                sorted_cw.append((ps, ws_))
-            from .transforms.dwt import _tpu_backend
-            if _tpu_backend():
-                # fused merge+integral kernel: one VMEM trip per row tile
-                from .kernels.pallas_emd import emd_presorted_pallas
+                    big = jnp.max(p, axis=-1, keepdims=True)
+                    p = jnp.concatenate(
+                        [p, jnp.broadcast_to(big, (p.shape[0], m))], -1)
+                    w = jnp.concatenate(
+                        [w, jnp.zeros((w.shape[0], m), w.dtype)], -1)
+                raw_cw.append((p, w))
+            if on_tpu:
+                # chunked fast-path sort + fused merge/integral kernels:
+                # each class sorted once in 256-lane chunks + a VMEM
+                # bitonic cascade, each pair integrated in one VMEM trip
+                from .kernels.pallas_emd import (emd_presorted_pallas,
+                                                sort_rows_pallas)
+                sorted_cw = [sort_rows_pallas(p, w) for p, w in raw_cw]
                 pairs = list(itertools.combinations(sorted_cw, 2))
                 P = jnp.concatenate([p for (p, _), _ in pairs])
                 WP = jnp.concatenate([wp for (_, wp), _ in pairs])
@@ -410,6 +414,7 @@ def discriminant_measure(gamma, dm):
                 WQ = jnp.concatenate([wq for _, (_, wq) in pairs])
                 d = emd_presorted_pallas(P, WP, Q, WQ)
                 return d.reshape(len(pairs), -1).sum(0).reshape(shape)
+            sorted_cw = [jax.lax.sort([p, w], num_keys=1) for p, w in raw_cw]
             D = None
             for (p, wp), (q, wq) in itertools.combinations(sorted_cw, 2):
                 d = _emd_presorted(p, wp, q, wq)
