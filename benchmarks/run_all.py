@@ -241,6 +241,14 @@ def main():
         return wx.bestbasis_treeselection(np.asarray(costs), n4, n4)
     record("c4_jbb_2d", wall_time(c4_jbb), B4 * n4 * n4, {"B": B4})
 
+    # 2-D LSDB (round-5: first measured 2-D LSDB row; streamed costs —
+    # the stacked-costs twin measured slower, see probe_lsdb.py)
+    c4l_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L4,
+                                                method=wx.LSDB(),
+                                                is2d=True)[1]
+    record("c4l_lsdb_2d_fused", slope_time(c4l_fused, x4, 2, 16),
+           B4 * n4 * n4, {"B": B4, "n": n4, "L": L4})
+
     c4_fused = lambda a: wx.bestbasis_pipeline(a, "db4", L4, is2d=True)[1]
     record("c4_jbb_2d_fused", slope_time(c4_fused, x4, 2, 16),
            B4 * n4 * n4, {"B": B4})

@@ -636,6 +636,35 @@ def _stream_extract(x, wtname, L: int, tree, is2d: bool):
     return acc
 
 
+def _operator_extract(x, wtname, L: int, tree):
+    """Shared-tree 1-D basis-coefficient extraction as ONE batch matmul.
+
+    Extraction is linear in x with a tree-dependent operator:
+    coefs = sum_d mask_d(X @ G_d) = X @ (sum_d G_d * colmask_d), where
+    G_d = composed_analysis_operator (the packed depth-d map) and colmask_d
+    broadcasts the node-domain leaf mask over each node's column block.
+    Building G_tree costs (L+1) tiny (n, n) masked adds; the batch is
+    touched ONCE.  Only valid for an unbatched (shared) tree; the caller
+    falls back to :func:`_stream_extract` for per-signal trees."""
+    from .kernels import operators as _kops, conv as _conv
+    from .transforms.dwt import _wt as _dwt_wt
+    from .utils import leaf_masks_dyn
+    w = _dwt_wt(wtname)
+    n = x.shape[-1]
+    tk = _kops.taps_key(w.lo, w.hi)
+    masks = leaf_masks_dyn(tree, L)
+    G = None
+    for d in range(L + 1):
+        Gd = jnp.asarray(_kops.composed_analysis_operator(tk, n, d),
+                         x.dtype)
+        m = masks[d]
+        colm = jnp.broadcast_to(m[:, None],
+                                (m.shape[-1], n >> d)).reshape(n)
+        term = Gd * colm[None, :]
+        G = term if G is None else G + term
+    return jnp.matmul(x, G, precision=_conv.MATMUL_PRECISION)
+
+
 def _pipeline_dims(x, L, is2d):
     """(n, m, L, was_unbatched): resolve/validate levels; detect an
     unbatched single signal/image (lifted to batch 1 by the pipelines so the
@@ -693,9 +722,12 @@ def _lsdb_stacked_costs_1d(xw):
 def _lsdb_stacked_costs_2d(xw):
     """2-D twin of :func:`_lsdb_stacked_costs_1d`: ONE vmap over ALL
     (L+1)*n*m coordinates of the materialized wpd2 stack; per-node quad
-    costs are blocked reshape-sums in Z-order.  On chip (B=256 32x32 L=3,
-    probe_lsdb.py r5) this is 2.0-2.3x the streamed per-level loop
-    (0.172 -> 0.086/0.075 ms) — same latency-bound win class as 1-D."""
+    costs are blocked reshape-sums in Z-order.  NOT dispatched: on chip
+    (B=256 32x32 L=3, probe_lsdb.py r5) it measured 0.131 ms vs the
+    streamed loop's 0.104 — unlike 1-D, the 2-D streamed level loop is
+    short (L+1 <= 6 quad levels) and already latency-lean, so the stack
+    materialization only adds traffic.  Kept as the measured alternative
+    (parity-pinned in probe_lsdb.json: stacked2d_max_abs_diff ~2e-4)."""
     N, Lp1, n, m = xw.shape
     coords = jnp.moveaxis(xw, 0, -1).reshape(-1, N)
     ents = jax.vmap(_ash_differential_entropy)(coords)
@@ -716,13 +748,8 @@ def _pipeline_costs(x, wt, L, method, is2d):
     from .transforms import dwt as _dwt_mod
     from .transforms.dwt import _pallas_wpd2_ok, _wt as _dwt_wt
     from .kernels import conv as _conv
-    if (is2d and isinstance(method, LSDB)
-            and isinstance(method.cost, DifferentialEntropyCost)
-            and x.shape[0] <= LSDB_STACK_MAX_BATCH):
-        # measured 2-D twin of the 1-D stacked-costs dispatch below
-        xw = _dwt_mod.wpd2(x, wt, L)
-        return (_lsdb_stacked_costs_2d(xw),
-                lambda tree: _stream_extract(x, wt, L, tree, True))
+    # NB: no 2-D LSDB stacked-costs dispatch — measured slower than the
+    # streamed loop (see _lsdb_stacked_costs_2d docstring / probe_lsdb.py)
     if (not is2d and isinstance(method, LSDB)
             and isinstance(method.cost, DifferentialEntropyCost)
             and x.shape[0] <= LSDB_STACK_MAX_BATCH):
