@@ -93,7 +93,11 @@ def main():
             lambda v: jnp.matmul(v, Mj.T), x), n)
 
         sp_ns = wm.mat2sparseform_nonstd(M, "db4")
-        de_ns = wm.mat2denseform_nonstd(M, "db4")
+        # device-resident form: a host ndarray closure would inline a
+        # (2n, 2n) literal into the traced program (the remote compile
+        # service rejects the oversize payload at n >= 4096)
+        de_ns = jax.device_put(jnp.asarray(wm.mat2denseform_nonstd(
+            M, "db4")))
         nnz = int(sp_ns.nse)
         row("nonstd_bcoo", slope_secs(
             lambda v: wm.nonstd_wavemult(sp_ns, v, "db4"), x), n,
