@@ -77,10 +77,18 @@ def main():
         for prec in ("highest", "default"):
             wx.set_matmul_precision(prec)
             try:
+                # round-5 fused deep-zone kernel (auto transition) vs the
+                # XLA hybrid, then the r4 step-cutoff sweep on the hybrid
+                for dk, tag in ((True, "kernel"), (False, "xla")):
+                    dt = slope_secs(
+                        lambda a, d=dk: wx.siwt_bestbasis_pipeline(
+                            a, "db4", L, BUDGET, deep_kernel=d)[0], x)
+                    row(f"c6b_{prec}_{tag}_r{r}", dt)
                 for cut in (None, 256, 64, 16):
                     dt = slope_secs(
                         lambda a, c=cut: wx.siwt_bestbasis_pipeline(
-                            a, "db4", L, BUDGET, step_cutoff=c)[0], x)
+                            a, "db4", L, BUDGET, step_cutoff=c,
+                            deep_kernel=False)[0], x)
                     row(f"c6b_{prec}_cut{cut}_r{r}", dt)
             finally:
                 wx.set_matmul_precision("highest")

@@ -35,19 +35,24 @@ B = int(os.environ.get("PROBE_B", "128"))
 MIN_GAP_S = 3e-3
 
 
-def slope_secs(fn, x, klo=4, khi=32, reps=3):
+def slope_secs(fn, x, klo=4, khi=32, reps=3, args=()):
+    # big operands (prebuilt forms) must flow through as jit ARGUMENTS:
+    # closure constants are shipped inside the remote-compile payload and
+    # a (2n, 2n) form at n >= 4096 exceeds its request-size limit
     @jax.jit
-    def chain(a, k):
-        out = jax.lax.fori_loop(0, k, lambda i, v: fn(v), a)
+    def chain(a, k, *ops):
+        out = jax.lax.fori_loop(0, k, lambda i, v: fn(v, *ops), a)
         return jnp.sum(out.astype(jnp.float32))
-    float(chain(x, jnp.int32(klo)))
+    def chainf(a, k):
+        return chain(a, k, *args)
+    float(chainf(x, jnp.int32(klo)))
 
     def t(k):
         kk = jnp.int32(k)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            float(chain(x, kk))
+            float(chainf(x, kk))
             best = min(best, time.perf_counter() - t0)
         return best
     t(klo)
@@ -90,7 +95,7 @@ def main():
 
         # plain dense baseline: y = x @ M.T (one MXU matmul, no wavelets)
         row("dense_direct", slope_secs(
-            lambda v: jnp.matmul(v, Mj.T), x), n)
+            lambda v, mj: jnp.matmul(v, mj.T), x, args=(Mj,)), n)
 
         sp_ns = wm.mat2sparseform_nonstd(M, "db4")
         # device-resident form: a host ndarray closure would inline a
@@ -103,9 +108,9 @@ def main():
             lambda v: wm.nonstd_wavemult(sp_ns, v, "db4"), x), n,
             {"nnz": nnz, "fill": nnz / (4 * n * n)})
         row("nonstd_dense", slope_secs(
-            lambda v: wm.nonstd_wavemult(de_ns, v, "db4",
-                                         form="prebuilt"), x), n,
-            {"nnz": nnz})
+            lambda v, de: wm.nonstd_wavemult(de, v, "db4",
+                                             form="prebuilt"), x,
+            args=(de_ns,)), n, {"nnz": nnz})
 
         if n <= 4096:  # std forms at n >= 8k exceed useful probe budget
             sp_st = wm.mat2sparseform_std(M, "db4")
