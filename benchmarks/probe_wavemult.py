@@ -74,6 +74,38 @@ def cz_matrix(n: int) -> np.ndarray:
     return M.astype(np.float32)
 
 
+def build_forms_cpu(n: int, tmpdir: str):
+    """Build the operator forms for size n in a CPU-forced subprocess and
+    return them (npz round trip).  The remote TPU compile tunnel rejects
+    programs whose payload carries a big matrix (HTTP 413 at tens of MB,
+    endpoint-dependent), and the builders are host-side preprocessing
+    anyway."""
+    import subprocess
+    outp = os.path.join(tmpdir, f"forms_{n}.npz")
+    if not os.path.exists(outp):
+        code = f"""
+import os, sys
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+sys.path.insert(0, {str(ROOT)!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from benchmarks.probe_wavemult import cz_matrix
+from waveletsext_tpu import wavemult as wm
+M = cz_matrix({n})
+sp = wm.mat2sparseform_nonstd(M, "db4")
+de = wm.mat2denseform_nonstd(M, "db4")
+np.savez({outp!r}, data=np.asarray(sp.data), indices=np.asarray(sp.indices),
+         shape=np.asarray(sp.shape), dense=np.asarray(de))
+"""
+        subprocess.run([sys.executable, "-c", code], check=True)
+    z = np.load(outp)
+    from jax.experimental import sparse as jsparse
+    sp = jsparse.BCOO((jnp.asarray(z["data"]), jnp.asarray(z["indices"])),
+                      shape=tuple(z["shape"]))
+    return sp, jax.device_put(jnp.asarray(z["dense"]))
+
+
 def main():
     out = {"device": str(jax.devices()[0]), "B": B, "rows": []}
 
@@ -97,16 +129,17 @@ def main():
         row("dense_direct", slope_secs(
             lambda v, mj: jnp.matmul(v, mj.T), x, args=(Mj,)), n)
 
-        sp_ns = wm.mat2sparseform_nonstd(M, "db4")
-        # device-resident form: a host ndarray closure would inline a
-        # (2n, 2n) literal into the traced program (the remote compile
-        # service rejects the oversize payload at n >= 4096)
-        de_ns = jax.device_put(jnp.asarray(wm.mat2denseform_nonstd(
-            M, "db4")))
+        if n >= 4096:
+            # big matrices: build on CPU out-of-process (see build_forms_cpu)
+            sp_ns, de_ns = build_forms_cpu(n, str(ROOT / "benchmarks"))
+        else:
+            sp_ns = wm.mat2sparseform_nonstd(M, "db4")
+            de_ns = jax.device_put(jnp.asarray(wm.mat2denseform_nonstd(
+                M, "db4")))
         nnz = int(sp_ns.nse)
         row("nonstd_bcoo", slope_secs(
-            lambda v: wm.nonstd_wavemult(sp_ns, v, "db4"), x), n,
-            {"nnz": nnz, "fill": nnz / (4 * n * n)})
+            lambda v, sp: wm.nonstd_wavemult(sp, v, "db4"), x,
+            args=(sp_ns,)), n, {"nnz": nnz, "fill": nnz / (4 * n * n)})
         row("nonstd_dense", slope_secs(
             lambda v, de: wm.nonstd_wavemult(de, v, "db4",
                                              form="prebuilt"), x,
@@ -117,11 +150,13 @@ def main():
             de_st = wm.mat2denseform_std(M, "db4")
             nnz_st = int(sp_st.nse)
             row("std_bcoo", slope_secs(
-                lambda v: wm.std_wavemult(sp_st, v, "db4"), x), n,
-                {"nnz": nnz_st, "fill": nnz_st / (n * n)})
+                lambda v, sp: wm.std_wavemult(sp, v, "db4"), x,
+                args=(sp_st,)), n, {"nnz": nnz_st, "fill": nnz_st / (n * n)})
             row("std_dense", slope_secs(
-                lambda v: wm.std_wavemult(de_st, v, "db4", form="prebuilt"),
-                x), n, {"nnz": nnz_st})
+                lambda v, de: wm.std_wavemult(de, v, "db4",
+                                              form="prebuilt"), x,
+                args=(jax.device_put(jnp.asarray(de_st)),)), n,
+                {"nnz": nnz_st})
 
     (ROOT / "benchmarks" / "probe_wavemult.json").write_text(
         json.dumps(out, indent=2))

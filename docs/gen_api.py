@@ -24,7 +24,7 @@ from waveletsext_tpu import (basis, denoising, ldb, metrics, datasets,  # noqa
                              observability)
 from waveletsext_tpu.transforms import dwt, swt, acwt, siwt, siwt_dense  # noqa
 from waveletsext_tpu.parallel import sharding, cp, multihost  # noqa
-from waveletsext_tpu.kernels import conv  # noqa
+from waveletsext_tpu.kernels import conv, pallas_siwt, pallas_emd  # noqa
 from waveletsext_tpu import filters  # noqa
 
 PAGES = {
@@ -42,7 +42,8 @@ PAGES = {
                  None),
     "visualizations.md": ("Visualizations", [viz], None),
     "parallel.md": ("Parallel & runtime (TPU-added)",
-                    [sharding, cp, multihost, observability, conv], None),
+                    [sharding, cp, multihost, observability, conv,
+                     pallas_siwt, pallas_emd], None),
 }
 
 
