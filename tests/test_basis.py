@@ -326,3 +326,21 @@ def test_jbb_covariance_costs_match_streamed():
     streamed = _stream_costs(x, "db4", 5, wx.JBB(), False)
     assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-9)
     assert np.allclose(np.asarray(streamed), np.asarray(ref), atol=1e-11)
+
+
+def test_operator_extract_matches_stream_extract():
+    """The one-matmul shared-tree extraction (X @ G_tree, round 5) must
+    equal the streamed leaf-mask extraction and the covariance JBB costs
+    must drive the same tree."""
+    rng = np.random.default_rng(17)
+    B, n, L = 16, 256, 8
+    x = jnp.asarray(rng.standard_normal((B, n)))
+    tree, coefs = wx.bestbasis_pipeline(x, "db4", L)
+    got = basis._operator_extract(x, "db4", L, tree)
+    assert np.allclose(np.asarray(got), np.asarray(coefs), atol=1e-8)
+    # covariance costs select the same tree as the streamed moments
+    from waveletsext_tpu.transforms.dwt import _wt as dwt_wt
+    w = dwt_wt("db4")
+    c_cov = basis._jbb_costs_covariance(x, w, L, wx.JBB().cost)
+    t_cov = basis.bestbasis_treeselection_dev(c_cov, n, None)
+    assert np.array_equal(np.asarray(t_cov), np.asarray(tree))
