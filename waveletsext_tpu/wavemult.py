@@ -173,9 +173,15 @@ def mat2sparseform_std(M, wt, L: int | None = None, eps: float = 1e-4):
 # pathological here (CLAUDE.md round-2) — while a zeros-kept dense form of
 # the SAME thresholded operator rides the MXU.  The reference's headline for
 # this module is *speed* (O(n) sparse vs O(n^2) dense, wavemult.jl:6-11);
-# on TPU the O(n^2)-flop masked matmul beats the O(nnz)-gather SpMV at
-# every measured size (benchmarks/probe_wavemult.py, BENCHMARKS.md r4), so
-# ``form='auto'`` picks dense on TPU and sparse elsewhere.
+# measured on chip through n = 16384 (benchmarks/probe_wavemult.py,
+# BENCHMARKS.md r5) that asymptotic story NEVER materializes on TPU: the
+# direct dense product y = x @ M^T wins at EVERY size (11x over BCOO at
+# n = 16k, 128 RHS) and the gap widens with n — BCOO's measured growth is
+# >= quadratic once its gather count saturates the scalar unit.  Among the
+# operator forms, the dense-masked matmul beats BCOO 2-13x everywhere, so
+# ``form='auto'`` picks dense on TPU and sparse elsewhere.  Use these forms
+# for reference parity / eps-compressed operators, not as a fast path past
+# the direct product.
 # ---------------------------------------------------------------------------
 
 def mat2denseform_nonstd(M, wt, L: int | None = None, eps: float = 1e-4):
