@@ -344,3 +344,18 @@ def test_operator_extract_matches_stream_extract():
     c_cov = basis._jbb_costs_covariance(x, w, L, wx.JBB().cost)
     t_cov = basis.bestbasis_treeselection_dev(c_cov, n, None)
     assert np.array_equal(np.asarray(t_cov), np.asarray(tree))
+
+
+def test_operator_pipeline_dispatch_matches_streamed(monkeypatch):
+    """The big-batch one-matmul JBB pipeline (covariance costs + operator
+    extraction) must produce the same tree and coefficients as the streamed
+    dispatch."""
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.standard_normal((32, 128)))
+    t0, c0 = wx.bestbasis_pipeline(x, "db4", 5)
+    monkeypatch.setattr(basis, "OPERATOR_PIPELINE_MIN_BATCH", 8)
+    basis.bestbasis_pipeline.clear_cache()
+    t1, c1 = wx.bestbasis_pipeline(x, "db4", 5)
+    basis.bestbasis_pipeline.clear_cache()
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-8)

@@ -701,6 +701,8 @@ def bestbasis_pipeline(x, wt, L=None, method=None, is2d: bool = False):
 
 
 LSDB_STACK_MAX_BATCH = 1024
+OPERATOR_PIPELINE_MIN_BATCH = 2048
+OPERATOR_PIPELINE_MAX_N = 512
 
 
 def _lsdb_stacked_costs_1d(xw):
@@ -748,6 +750,25 @@ def _pipeline_costs(x, wt, L, method, is2d):
     from .transforms import dwt as _dwt_mod
     from .transforms.dwt import _pallas_wpd2_ok, _wt as _dwt_wt
     from .kernels import conv as _conv
+    # One-matmul pipeline (round 5): at big batch the whole shared-tree
+    # 1-D JBB pipeline collapses to TWO batch matmuls — covariance costs
+    # (E[X_d], E[X_d^2] from X^T X and the composed operators) and the
+    # leaf-masked operator extraction X @ G_tree.  On chip at B=16k n=256:
+    # 4,629 -> 22,162 Msps HIGHEST, 9,053 -> 21,875 DEFAULT (probe; the
+    # streamed level loop re-reads the batch every level, the matmul path
+    # touches it twice).  B=1024 is latency-bound and mixed (wins HIGHEST,
+    # loses DEFAULT) -> flat gate at B >= 2048, n <= 512.
+    if (not is2d and isinstance(method, JBB)
+            and x.shape[0] >= OPERATOR_PIPELINE_MIN_BATCH
+            and x.shape[-1] <= OPERATOR_PIPELINE_MAX_N):
+        w = _dwt_wt(wt)
+        costs = _jbb_costs_covariance(x, w, L, method.cost)
+
+        def extract(tree):
+            if tree.ndim == 1:
+                return _operator_extract(x, wt, L, tree)
+            return _stream_extract(x, wt, L, tree, False)
+        return costs, extract
     # NB: no 2-D LSDB stacked-costs dispatch — measured slower than the
     # streamed loop (see _lsdb_stacked_costs_2d docstring / probe_lsdb.py)
     if (not is2d and isinstance(method, LSDB)
