@@ -90,5 +90,5 @@ def test_swt_batched():
 
 
 def test_shift_asserts():
-    with pytest.raises(AssertionError):
+    with pytest.raises(ValueError):  # eager -O-safe error (round 5)
         wx.main2depthshift(12, 3)
