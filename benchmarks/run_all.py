@@ -427,7 +427,8 @@ def main():
                   1.0 / np.where(d7 == 0, 1, d7)).astype(np.float32)
     x7 = jnp.asarray(rng.standard_normal((B7, n7)).astype(np.float32))
     form7 = wm.mat2denseform_nonstd(M7, "db4")
-    c7 = lambda a: wm.nonstd_wavemult(form7, a, "db4")
+    c7 = lambda a: wm.nonstd_wavemult(form7, a, "db4",
+                                  form="prebuilt")
     record("c7_wavemult_nonstd", slope_time(c7, x7, 4, 32), B7 * n7,
            {"B": B7, "n": n7, "form": "dense"})
 
