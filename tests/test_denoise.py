@@ -313,3 +313,22 @@ def test_noisest_subsample():
     np.testing.assert_allclose(sub, exact, rtol=0.35)  # O(1/sqrt(m/s))
     np.testing.assert_array_equal(np.asarray(dn.noisest(x, subsample=1)),
                                   exact)
+
+
+def test_operator_denoise_dispatch_matches_streamed(monkeypatch):
+    """The big-batch matmul-collapsed denoise (covariance costs + operator
+    extract/inverse) must equal the streamed dispatch, incl. undersmooth."""
+    from waveletsext_tpu import basis
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.standard_normal((32, 128)))
+    for soft, smooth in ((False, "regular"), (True, "undersmooth")):
+        y0 = wx.bestbasis_denoise_pipeline(x, "db4", 5, soft=soft,
+                                           smooth=smooth)
+        monkeypatch.setattr(basis, "OPERATOR_PIPELINE_MIN_BATCH", 8)
+        wx.bestbasis_denoise_pipeline.clear_cache()
+        y1 = wx.bestbasis_denoise_pipeline(x, "db4", 5, soft=soft,
+                                           smooth=smooth)
+        wx.bestbasis_denoise_pipeline.clear_cache()
+        monkeypatch.setattr(basis, "OPERATOR_PIPELINE_MIN_BATCH", 2048)
+        assert np.allclose(np.asarray(y0), np.asarray(y1), atol=1e-8), (
+            soft, smooth)

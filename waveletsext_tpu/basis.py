@@ -665,6 +665,33 @@ def _operator_extract(x, wtname, L: int, tree):
     return jnp.matmul(x, G, precision=_conv.MATMUL_PRECISION)
 
 
+def _operator_inverse(coefs, wtname, L: int, tree):
+    """Shared-tree 1-D dynamic-tree inverse as ONE batch matmul: the
+    synthesis twin of :func:`_operator_extract` — y = coefs @ G_inv with
+    G_inv = sum_d rowmask_d ⊙ composed_synthesis_operator(n, d) (each
+    packed position belongs to exactly one leaf depth, so the row-masked
+    composed synthesis operators sum to the tree's inverse map).  Matches
+    iwpt_dyn's arithmetic (the composed operators are built by composing
+    the numpy synthesis steps, not by transposing)."""
+    from .kernels import operators as _kops, conv as _conv
+    from .transforms.dwt import _wt as _dwt_wt
+    from .utils import leaf_masks_dyn
+    w = _dwt_wt(wtname)
+    n = coefs.shape[-1]
+    tk = _kops.taps_key(w.lo, w.hi)
+    masks = leaf_masks_dyn(tree, L)
+    G = None
+    for d in range(L + 1):
+        Sd = jnp.asarray(_kops.composed_synthesis_operator(tk, n, d),
+                         coefs.dtype)
+        m = masks[d]
+        rowm = jnp.broadcast_to(m[:, None],
+                                (m.shape[-1], n >> d)).reshape(n)
+        term = Sd * rowm[:, None]
+        G = term if G is None else G + term
+    return jnp.matmul(coefs, G, precision=_conv.MATMUL_PRECISION)
+
+
 def _pipeline_dims(x, L, is2d):
     """(n, m, L, was_unbatched): resolve/validate levels; detect an
     unbatched single signal/image (lifted to batch 1 by the pipelines so the

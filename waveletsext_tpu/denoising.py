@@ -501,16 +501,31 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     — the selector sort scales ~linearly with row length on TPU.
     """
     from .basis import (_stream_costs, _stream_extract,
-                        bestbasis_treeselection_dev, JBB, BB)
+                        bestbasis_treeselection_dev, JBB, BB,
+                        _jbb_costs_covariance, _operator_extract,
+                        _operator_inverse, OPERATOR_PIPELINE_MIN_BATCH,
+                        OPERATOR_PIPELINE_MAX_N)
     from .transforms.dwt import _wpt_level_fwd, _default_levels, _wt
     method = JBB() if method is None else method
     n = x.shape[-1]
     L = _default_levels(n, L)
     lead = x.shape[:-1]
     x = x.reshape((-1, n))  # flatten batch dims (JBB joins the lot)
-    costs = _stream_costs(x, wt, L, method, False)
-    tree = bestbasis_treeselection_dev(costs, n)
-    coefs = _stream_extract(x, wt, L, tree, False)
+    # big-batch shared-tree collapse (round 5, see basis._operator_extract):
+    # covariance costs + X @ G_tree extraction + shrunk @ G_inv inverse —
+    # the whole denoise becomes a few batch matmuls around the elementwise
+    # threshold
+    use_op = (isinstance(method, JBB)
+              and x.shape[0] >= OPERATOR_PIPELINE_MIN_BATCH
+              and n <= OPERATOR_PIPELINE_MAX_N)
+    if use_op:
+        costs = _jbb_costs_covariance(x, _wt(wt), L, method.cost)
+        tree = bestbasis_treeselection_dev(costs, n)
+        coefs = _operator_extract(x, wt, L, tree)
+    else:
+        costs = _stream_costs(x, wt, L, method, False)
+        tree = bestbasis_treeselection_dev(costs, n)
+        coefs = _stream_extract(x, wt, L, tree, False)
     # sigma: MAD of the finest-detail coefficients (level-1 high half),
     # recomputed from one level step (cheap next to the stack it replaces)
     w = _wt(wt)
@@ -533,6 +548,8 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
         band = (n >> lvl0)                    # (..., 1) scaling-leaf length
         pos = jnp.arange(n)
         shrunk = jnp.where(pos < band, coefs, shrunk)
+    if use_op:
+        return _operator_inverse(shrunk, wt, L, tree).reshape(lead + (n,))
     return _dwt_mod.iwpt_dyn(shrunk, wt, tree,
                              levels=L).reshape(lead + (n,))
 
