@@ -732,6 +732,19 @@ OPERATOR_PIPELINE_MIN_BATCH = 2048
 OPERATOR_PIPELINE_MAX_N = 512
 
 
+def _operator_pipeline_min_batch() -> int:
+    """Precision-keyed gate for the matmul-collapsed shared-tree pipelines:
+    at HIGHEST the streamed per-level moments pay 6-pass matmul tax, so the
+    covariance/operator form already wins from B=1024 (probe: 4,873 ->
+    6,190 Msps); at DEFAULT B=1024 is latency-bound and mixed (6,039 ->
+    5,563) so the flat 2048 floor stands."""
+    import jax as _jax
+    from .kernels import conv as _conv
+    if _conv.MATMUL_PRECISION == _jax.lax.Precision.HIGHEST:
+        return min(1024, OPERATOR_PIPELINE_MIN_BATCH)
+    return OPERATOR_PIPELINE_MIN_BATCH
+
+
 def _lsdb_stacked_costs_1d(xw):
     """LSDB node costs from a materialized 1-D wpd stack via ONE vmap over
     ALL (L+1)*n coordinates (per-coordinate ASH entropy is node- and
@@ -786,7 +799,7 @@ def _pipeline_costs(x, wt, L, method, is2d):
     # touches it twice).  B=1024 is latency-bound and mixed (wins HIGHEST,
     # loses DEFAULT) -> flat gate at B >= 2048, n <= 512.
     if (not is2d and isinstance(method, JBB)
-            and x.shape[0] >= OPERATOR_PIPELINE_MIN_BATCH
+            and x.shape[0] >= _operator_pipeline_min_batch()
             and x.shape[-1] <= OPERATOR_PIPELINE_MAX_N):
         w = _dwt_wt(wt)
         costs = _jbb_costs_covariance(x, w, L, method.cost)

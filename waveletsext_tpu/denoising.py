@@ -503,7 +503,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     from .basis import (_stream_costs, _stream_extract,
                         bestbasis_treeselection_dev, JBB, BB,
                         _jbb_costs_covariance, _operator_extract,
-                        _operator_inverse, OPERATOR_PIPELINE_MIN_BATCH,
+                        _operator_inverse, _operator_pipeline_min_batch,
                         OPERATOR_PIPELINE_MAX_N)
     from .transforms.dwt import _wpt_level_fwd, _default_levels, _wt
     method = JBB() if method is None else method
@@ -516,7 +516,7 @@ def bestbasis_denoise_pipeline(x, wt, L=None, method=None, soft: bool = False,
     # the whole denoise becomes a few batch matmuls around the elementwise
     # threshold
     use_op = (isinstance(method, JBB)
-              and x.shape[0] >= OPERATOR_PIPELINE_MIN_BATCH
+              and x.shape[0] >= _operator_pipeline_min_batch()
               and n <= OPERATOR_PIPELINE_MAX_N)
     if use_op:
         costs = _jbb_costs_covariance(x, _wt(wt), L, method.cost)
