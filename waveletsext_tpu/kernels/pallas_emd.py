@@ -9,13 +9,16 @@ fit sizes, plus the cumsum); this kernel runs the WHOLE tail — merge, prefix
 sum, |CDF| integral — in one VMEM trip per 128-row tile.
 
 Layout: rows (class-pair x coordinate) ride the LANE axis, the merge axis
-lives on SUBLANES (Mosaic supports sublane reshapes/rolls but no lane
-splits, no `rev`, no `cumsum` — see pallas_wpt.py).  Consequences:
+lives on SUBLANES (Mosaic supports sublane rolls but no lane splits, no
+`rev`, no `cumsum` — see pallas_wpt.py).  Consequences:
   * the descending half of the bitonic input is produced by an XLA lane
     flip BEFORE the kernel (the merge network itself needs no reversals);
-  * the prefix sum is log2(2M) roll-and-masked-add doubling steps;
-  * every merge stage is a blocked sublane compare-exchange
-    (reshape (blocks, 2, w, TB), min/max, stack back).
+  * every merge stage is a roll-based compare-exchange on flat (M, TB)
+    arrays (`_cmpx_roll` — the blocked-reshape form pads the w axis to 8
+    sublanes and blows the scoped-VMEM stack ~8x at low w);
+  * the prefix sum is a triangular-matmul block prefix (`_cumsum_block` —
+    a roll-doubling prefix composed after the merge stages triggers a ~6x
+    Mosaic lowering pathology, measured in BENCHMARKS.md r5).
 
 Key pads must equal the per-row MERGED maximum on both sides so the padded
 tail contributes only zero-width intervals (weight pads are 0); the wrapper
@@ -89,7 +92,7 @@ def _cumsum_block(U, M2, Ltri):
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
-def _make_kernel(M: int, TB: int, bs: int):
+def _make_kernel(M: int, TB: int):
     M2 = 2 * M
 
     def kernel(p_ref, wp_ref, q_ref, wq_ref, l_ref, o_ref):
@@ -191,6 +194,11 @@ def emd_presorted_pallas(p, wp, q, wq, interpret: bool = False):
     positive weights.  Returns (R,) — identical to
     ``ldb._emd_presorted(p, wp, q, wq)`` (parity-tested)."""
     R, N = p.shape
+    if q.shape != p.shape or wp.shape != p.shape or wq.shape != p.shape:
+        raise ValueError(
+            f"emd_presorted_pallas expects equal-shaped (R, N) inputs, got "
+            f"p={p.shape} wp={wp.shape} q={q.shape} wq={wq.shape} (pad "
+            f"unequal supports with weight-0 entries first)")
     M = max(8, 1 << (N - 1).bit_length())
     big = jnp.maximum(p[:, -1:], q[:, -1:])  # per-row merged max
 
@@ -213,7 +221,7 @@ def emd_presorted_pallas(p, wp, q, wq, interpret: bool = False):
         pk, pv, qk, qv = padrow(pk), padrow(pv), padrow(qk), padrow(qv)
     bs = min(128, 2 * M)
     Ltri = jnp.asarray(np.tril(np.ones((bs, bs), np.float32)))
-    kernel = _make_kernel(M, TB, bs)
+    kernel = _make_kernel(M, TB)
     spec = pl.BlockSpec((TB, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,

@@ -124,7 +124,6 @@ def _make_deep_kernel(L: int, d0: int, budget: int, K0: int, nd0: int,
     shifts, kid_pos, _, _ = packed_shifts(L, budget)
     D = L - d0
     P_of = [len(shifts[d0 + l]) for l in range(D + 1)]
-    HI = jax.lax.Precision.HIGHEST
 
     def mm(a, b, prec=precision):
         return jax.lax.dot(a, b, precision=prec)
