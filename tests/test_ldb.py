@@ -172,3 +172,45 @@ def test_emd_general_path_uses_presorted_merge_and_matches():
             ldb.pairwise_discriminant_measure(g1, g2,
                                               ldb.EarthMoverDistance()))
     np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
+def test_sort_rows_pallas_interpret_parity():
+    """Chunked fast-path sort + bitonic cascade (interpret mode) must match
+    lax.sort on the real prefix, pad with per-row max keys / zero weights,
+    and feed the fused EMD kernel to oracle parity."""
+    from waveletsext_tpu.kernels.pallas_emd import (sort_rows_pallas,
+                                                    emd_presorted_pallas)
+    rng = np.random.default_rng(6)
+    for N in (100, 256, 300, 700):
+        R = 5
+        k = jnp.asarray(rng.standard_normal((R, N)).astype(np.float32))
+        v = jnp.asarray(rng.uniform(0.1, 1, (R, N)).astype(np.float32))
+        ks, vs = sort_rows_pallas(k, v, interpret=True)
+        kref, vref = jax.lax.sort([k, v], num_keys=1)
+        assert np.allclose(np.asarray(ks[:, :N]), np.asarray(kref)), N
+        M = ks.shape[-1]
+        if M > N:
+            np.testing.assert_allclose(
+                np.asarray(ks[:, N:]),
+                np.asarray(kref[:, -1:]) * np.ones((1, M - N)))
+            # NB: value pads may interleave with true-max ties (equal keys
+            # sort arbitrarily) — total weight is what must be preserved
+            np.testing.assert_allclose(np.asarray(jnp.sum(vs, -1)),
+                                       np.asarray(jnp.sum(v, -1)),
+                                       rtol=1e-6)
+        k2 = jnp.asarray(rng.standard_normal((R, N)).astype(np.float32))
+        v2 = jnp.asarray(rng.uniform(0.1, 1, (R, N)).astype(np.float32))
+        k2s, v2s = sort_rows_pallas(k2, v2, interpret=True)
+        got = np.asarray(emd_presorted_pallas(ks, vs, k2s, v2s,
+                                              interpret=True))
+        want = np.asarray(jax.vmap(ldb._emd_pair)(k, v, k2, v2))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_emd_kernel_rejects_unequal_shapes():
+    from waveletsext_tpu.kernels.pallas_emd import emd_presorted_pallas
+    p = jnp.zeros((4, 16))
+    q = jnp.zeros((4, 24))
+    w = jnp.ones((4, 16))
+    with pytest.raises(ValueError):
+        emd_presorted_pallas(p, w, q, jnp.ones((4, 24)), interpret=True)
