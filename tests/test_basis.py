@@ -359,3 +359,24 @@ def test_operator_pipeline_dispatch_matches_streamed(monkeypatch):
     basis.bestbasis_pipeline.clear_cache()
     assert np.array_equal(np.asarray(t0), np.asarray(t1))
     assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-8)
+
+
+def test_lsdb_operator_extract_dispatch_matches(monkeypatch):
+    """Big-batch LSDB extraction through the one-matmul path must match the
+    streamed dispatch (shared LSDB tree; per-signal BB trees unaffected)."""
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.standard_normal((40, 64)))
+    t0, c0 = wx.bestbasis_pipeline(x, "db4", 4, method=wx.LSDB())
+    # drop BOTH gates so the streamed-costs + operator-extract branch is
+    # the one actually exercised (the stacked-costs branch would otherwise
+    # early-return with the streamed extract at this batch size)
+    monkeypatch.setattr(basis, "OPERATOR_PIPELINE_MIN_BATCH", 8)
+    monkeypatch.setattr(basis, "LSDB_STACK_MAX_BATCH", 0)
+    basis.bestbasis_pipeline.clear_cache()
+    t1, c1 = wx.bestbasis_pipeline(x, "db4", 4, method=wx.LSDB())
+    basis.bestbasis_pipeline.clear_cache()
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    assert np.allclose(np.asarray(c0), np.asarray(c1), atol=1e-8)
+    # per-signal BB trees still reconstruct through the streamed sweep
+    tb, cb = wx.bestbasisall_pipeline(x, "db4", 4)
+    assert tb.shape[0] == x.shape[0] and cb.shape == x.shape

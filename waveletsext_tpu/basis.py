@@ -831,8 +831,16 @@ def _pipeline_costs(x, wt, L, method, is2d):
         xw = _dwt_mod.wpd2(x, wt, L)
         return (_stack_costs(xw, method, True),
                 lambda tree: _stack_extract(xw, tree, True))
-    return (_stream_costs(x, wt, L, method, is2d),
-            lambda tree: _stream_extract(x, wt, L, tree, is2d))
+    def extract(tree):
+        # shared-tree big-batch 1-D extraction rides the one-matmul path
+        # regardless of the cost method (LSDB included); batched per-signal
+        # trees (BB) fall back to the streamed leaf-mask sweep
+        if (not is2d and getattr(tree, "ndim", 2) == 1
+                and x.shape[0] >= _operator_pipeline_min_batch()
+                and x.shape[-1] <= OPERATOR_PIPELINE_MAX_N):
+            return _operator_extract(x, wt, L, tree)
+        return _stream_extract(x, wt, L, tree, is2d)
+    return (_stream_costs(x, wt, L, method, is2d), extract)
 
 
 @apijit("wt", "L", "method", "is2d")
